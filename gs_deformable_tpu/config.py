@@ -1,0 +1,142 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters its configuration over three reflection-based CLI groups
+(``/root/reference/arguments/__init__.py:47-89``) plus many hard-coded constants
+(offset-reg weight at train.py:332, deformation warmup at gaussian_model.py:308,
+offset LR schedule at gaussian_model.py:862-864, min_opacity at train.py:620,
+random-init point count at dataset_readers.py:292).  Here every knob lives in one
+typed, immutable config tree so jitted functions can close over static values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Scene-model options (reference: ModelParams, arguments/__init__.py:47-62)."""
+
+    sh_degree: int = 3
+    source_path: str = ""
+    model_path: str = ""
+    images: str = "images"
+    resolution: int = -1
+    white_background: bool = False
+    eval: bool = False
+    # Deformation network selection. "offset" = the active 4-head additive net
+    # (reference DirectTemporalNeRF, gaussian_model.py:242-316). "se3" = the
+    # latent SE(3) exponential-map variant (gaussian_model.py:99-173, consumer
+    # commented at gaussian_renderer/__init__.py:91-95). "none" = static scene.
+    deform_mode: str = "offset"
+    # Latent per-head nets the reference instantiates but does not train
+    # (gaussian_model.py:680-684); exposed as options.
+    use_opacity_mask: bool = False
+    # Random point-cloud init count (reference hard-codes 100_000 at
+    # dataset_readers.py:292,577,762).
+    random_init_points: int = 100_000
+
+
+@dataclasses.dataclass(frozen=True)
+class DeformConfig:
+    """DirectTemporalNeRF hyperparameters (gaussian_model.py:242-316)."""
+
+    depth: int = 8
+    width: int = 256
+    skips: Tuple[int, ...] = (4,)
+    multires_xyz: int = 10  # posenc octaves for xyz (gaussian_model.py:248)
+    multires_time: int = 10  # posenc octaves for t (gaussian_model.py:249)
+    warmup_iters: int = 3000  # static warmup gate (gaussian_model.py:308)
+    sh_coeffs: int = 16  # SH head emits 16*3 = 48 values (gaussian_model.py:277)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Render pipeline flags (reference: PipelineParams, arguments/__init__.py:64-69)."""
+
+    convert_shs_python: bool = False
+    compute_cov3d_python: bool = False
+    debug: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    """Tile rasterizer capacities — the static-shape contract.
+
+    The CUDA reference sizes its duplicated key list dynamically per frame
+    (rasterizer_impl.cu:70-111, 277-308).  On TPU all shapes are static: the
+    per-frame (gaussian x tile) instance list has a fixed capacity and overflow
+    is *surfaced* (never silently dropped without a counter).
+    """
+
+    tile_x: int = 16  # BLOCK_X (config.h:16)
+    tile_y: int = 16  # BLOCK_Y (config.h:17)
+    # Capacity of the duplicated [tile|depth]-sorted instance list per frame.
+    # The reference's `num_rendered` for 100k-1M gaussians is typically <2M.
+    instance_capacity: int = 1 << 21
+    # Gaussians processed per inner chunk of the Pallas kernels.
+    chunk: int = 32
+    # Composite termination threshold (forward.cu:347).
+    transmittance_eps: float = 1e-4
+    # Per-splat alpha clamp (forward.cu:343-344).
+    alpha_max: float = 0.99
+    alpha_min: float = 1.0 / 255.0
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizationConfig:
+    """Optimization schedule (reference: OptimizationParams, arguments/__init__.py:71-89
+    plus hard-coded constants listed in the module docstring)."""
+
+    iterations: int = 40_000
+    position_lr_init: float = 1.6e-4
+    position_lr_final: float = 1.6e-6
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 40_000
+    # Deformation-MLP LR schedule (hard-coded at gaussian_model.py:862-864).
+    offset_lr_init: float = 8e-4
+    offset_lr_final: float = 1.6e-6
+    feature_lr: float = 2.5e-3
+    opacity_lr: float = 0.05
+    scaling_lr: float = 5e-3
+    rotation_lr: float = 1e-3
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+    # Offset-norm regularizer weight (hard-coded 0.1 at train.py:332).
+    lambda_offset_norm: float = 0.1
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15_000
+    densify_grad_threshold: float = 2e-4
+    # Pruning opacity floor (hard-coded at train.py:620).
+    min_opacity: float = 0.005
+    # Screen-size prune threshold once opacity resets begin (train.py:643).
+    max_screen_size: int = 20
+    adam_eps: float = 1e-15  # gaussian_model.py:856
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout for multi-chip training."""
+
+    # Number of devices along the data axis (cameras/timesteps per step).
+    data_axis: int = 1
+    # Number of devices along the model axis (gaussians + image tiles sharded).
+    model_axis: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    deform: DeformConfig = dataclasses.field(default_factory=DeformConfig)
+    pipeline: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+    raster: RasterizeConfig = dataclasses.field(default_factory=RasterizeConfig)
+    opt: OptimizationConfig = dataclasses.field(default_factory=OptimizationConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,187 @@
+"""Per-gaussian screen-space preprocessing (the TPU analog of FORWARD::preprocess).
+
+This is the vectorized, fully differentiable re-design of the CUDA
+``preprocessCUDA`` kernel (/root/reference/submodules/diff-gaussian-rasterization/
+cuda_rasterizer/forward.cu:156-256).  One jnp map over all P gaussians — XLA
+fuses the whole thing; there is no per-thread code.  Because it is plain
+differentiable JAX, the analytic backward chains of backward.cu:144-396
+(conic->cov2D->cov3D->scale/rot, projection->mean, fov-clamp gradient gates) are
+obtained by autodiff of the same formulas instead of being hand-written.
+
+Numerical details matched to the reference:
+- near cull at view z <= 0.2            (auxiliary.h:154)
+- w-epsilon 1e-7 in perspective divide  (forward.cu:199)
+- 1.3 * tan_fov clamp of the EWA Jacobian input, whose autodiff gradient is
+  exactly the `x_grad_mul` gate        (forward.cu:82-87, backward.cu:175-176)
+- +0.3 low-pass on the 2D diagonal      (forward.cu:110-111)
+- radius = ceil(3 sqrt(max eig)), 0.1 floor under the sqrt (forward.cu:229-232)
+- ndc2Pix(v, S) = ((v+1) S - 1)/2       (auxiliary.h:41-44)
+- tile rect via floor-div with clamping (auxiliary.h:46-56)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+NEAR_Z = 0.2
+W_EPS = 1e-7
+LOWPASS = 0.3
+
+
+class PreprocessOut(NamedTuple):
+    """Per-gaussian screen-space quantities; all shapes (P, ...)."""
+
+    means2d_ndc: jnp.ndarray  # (P, 2) NDC xy — gradient tap for densification
+    means2d_pix: jnp.ndarray  # (P, 2) pixel-space xy
+    depths: jnp.ndarray  # (P,) view-space z
+    conics: jnp.ndarray  # (P, 3) inverse 2D covariance (A, B, C)
+    radii: jnp.ndarray  # (P,) int32 screen-space radius, 0 = culled
+    rect: jnp.ndarray  # (P, 4) int32 [x0, y0, x1, y1) tile rect
+    tiles_touched: jnp.ndarray  # (P,) int32
+    mask: jnp.ndarray  # (P,) bool — survives all culls
+
+
+def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def compute_cov2d(
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    viewmatrix: jnp.ndarray,
+    focal_x: jnp.ndarray,
+    focal_y: jnp.ndarray,
+    tan_fovx: jnp.ndarray,
+    tan_fovy: jnp.ndarray,
+) -> jnp.ndarray:
+    """EWA projection of 3D covariance to screen space (forward.cu:74-113).
+
+    Args:
+      means3d: (P, 3) world-space centers.
+      cov3d: (P, 6) packed upper-triangular world covariance.
+      viewmatrix: (4, 4) row-vector world->view transform (cameras.py:55).
+    Returns: (P, 3) packed [c00, c01, c11] *after* the +0.3 low-pass.
+    """
+    t = means3d @ viewmatrix[:3, :3] + viewmatrix[3, :3]
+    tz = t[:, 2]
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    tx = jnp.clip(t[:, 0] / tz, -limx, limx) * tz
+    ty = jnp.clip(t[:, 1] / tz, -limy, limy) * tz
+
+    # A = [[fx/tz, 0, -fx tx/tz^2], [0, fy/tz, -fy ty/tz^2]]  (the EWA affine
+    # approximation; forward.cu:89-92 builds the same J in glm column-major).
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    a00 = focal_x * inv_z
+    a02 = -focal_x * tx * inv_z2
+    a11 = focal_y * inv_z
+    a12 = -focal_y * ty * inv_z2
+
+    # Sigma_cam = W Sigma W^T with W the world->view rotation.  The reference's
+    # T = W*J / cov = T^T Vrk^T T (forward.cu:94-106) reduces to the same.
+    Wr = viewmatrix[:3, :3].T  # math rotation: row-major world->view
+    xx, xy, xz, yy, yz, zz = (cov3d[:, i] for i in range(6))
+    sigma = jnp.stack(
+        [
+            jnp.stack([xx, xy, xz], axis=-1),
+            jnp.stack([xy, yy, yz], axis=-1),
+            jnp.stack([xz, yz, zz], axis=-1),
+        ],
+        axis=-2,
+    )  # (P, 3, 3)
+    sigma_cam = jnp.einsum("ij,pjk,lk->pil", Wr, sigma, Wr)
+
+    s00, s01, s02 = sigma_cam[:, 0, 0], sigma_cam[:, 0, 1], sigma_cam[:, 0, 2]
+    s11, s12, s22 = sigma_cam[:, 1, 1], sigma_cam[:, 1, 2], sigma_cam[:, 2, 2]
+
+    # cov2d = A Sigma_cam A^T, rows of A as above.
+    c00 = a00 * (a00 * s00 + a02 * s02) + a02 * (a00 * s02 + a02 * s22) + LOWPASS
+    c01 = a11 * (a00 * s01 + a02 * s12) + a12 * (a00 * s02 + a02 * s22)
+    c11 = a11 * (a11 * s11 + a12 * s12) + a12 * (a11 * s12 + a12 * s22) + LOWPASS
+    return jnp.stack([c00, c01, c11], axis=-1)
+
+
+def preprocess(
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    viewmatrix: jnp.ndarray,
+    projmatrix: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    tan_fovx: float,
+    tan_fovy: float,
+    tile_x: int = 16,
+    tile_y: int = 16,
+    alive: jnp.ndarray | None = None,
+) -> PreprocessOut:
+    """Project all gaussians to screen space and bin-count tiles.
+
+    ``alive`` optionally masks out dead capacity slots (TPU fixed-capacity
+    model state) — they behave exactly like frustum-culled gaussians.
+    """
+    P = means3d.shape[0]
+    focal_x = width / (2.0 * tan_fovx)
+    focal_y = height / (2.0 * tan_fovy)
+    grid_x = (width + tile_x - 1) // tile_x
+    grid_y = (height + tile_y - 1) // tile_y
+
+    # Near culling (auxiliary.h:139-164).
+    p_view_z = means3d @ viewmatrix[:3, 2] + viewmatrix[3, 2]
+    in_front = p_view_z > NEAR_Z
+
+    # Projection (forward.cu:197-200).
+    p_hom = means3d @ projmatrix[:3, :] + projmatrix[3, :]
+    p_w = 1.0 / (p_hom[:, 3] + W_EPS)
+    ndc = p_hom[:, :2] * p_w[:, None]
+
+    cov2d = compute_cov2d(
+        means3d, cov3d, viewmatrix, focal_x, focal_y, tan_fovx, tan_fovy
+    )
+    c00, c01, c11 = cov2d[:, 0], cov2d[:, 1], cov2d[:, 2]
+    det = c00 * c11 - c01 * c01
+    det_ok = det != 0.0
+    det_inv = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    conics = jnp.stack([c11 * det_inv, -c01 * det_inv, c00 * det_inv], axis=-1)
+
+    # Screen-space radius (forward.cu:229-232).
+    mid = 0.5 * (c00 + c11)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lam2 = mid - jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, lam2)))
+
+    pix = jnp.stack([ndc2pix(ndc[:, 0], width), ndc2pix(ndc[:, 1], height)], axis=-1)
+
+    # Tile rect (auxiliary.h:46-56): floor-div + clamp is equivalent to the
+    # C truncation there for every case that survives the clamps.
+    x0 = jnp.clip(jnp.floor((pix[:, 0] - radius_f) / tile_x), 0, grid_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((pix[:, 1] - radius_f) / tile_y), 0, grid_y).astype(jnp.int32)
+    x1 = jnp.clip(
+        jnp.floor((pix[:, 0] + radius_f + tile_x - 1) / tile_x), 0, grid_x
+    ).astype(jnp.int32)
+    y1 = jnp.clip(
+        jnp.floor((pix[:, 1] + radius_f + tile_y - 1) / tile_y), 0, grid_y
+    ).astype(jnp.int32)
+    ntiles = (x1 - x0) * (y1 - y0)
+
+    mask = in_front & det_ok & (ntiles > 0)
+    if alive is not None:
+        mask = mask & alive
+
+    radii = jnp.where(mask, radius_f, 0.0).astype(jnp.int32)
+    tiles_touched = jnp.where(mask, ntiles, 0).astype(jnp.int32)
+    rect = jnp.stack([x0, y0, x1, y1], axis=-1)
+
+    return PreprocessOut(
+        means2d_ndc=ndc,
+        means2d_pix=pix,
+        depths=p_view_z,
+        conics=conics,
+        radii=radii,
+        rect=rect,
+        tiles_touched=tiles_touched,
+        mask=mask,
+    )

@@ -1,0 +1,52 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on CPU per the driver contract
+(xla_force_host_platform_device_count); Pallas kernels run in interpreter mode
+on CPU (selected automatically by the ops layer).
+
+The image's sitecustomize registers the `axon` TPU-tunnel PJRT plugin whenever
+PALLAS_AXON_POOL_IPS is set; its jax hooks pin the backend to the tunnel (so
+JAX_PLATFORMS=cpu set in-process is ignored) and deadlock with a multi-device
+CPU client.  sitecustomize runs before pytest, so the only reliable fix is to
+re-exec pytest once with a cleaned environment — after suspending pytest's fd
+capture so the re-exec'd process writes to the real stdout.
+"""
+
+import os
+import sys
+
+_REEXEC_FLAG = "_GS_TESTS_REEXEC"
+
+
+def pytest_configure(config):
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and os.environ.get(_REEXEC_FLAG) != "1":
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env[_REEXEC_FLAG] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = env.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        capman = config.pluginmanager.getplugin("capturemanager")
+        if capman is not None:
+            capman.suspend_global_capture(in_=True)
+        args = list(config.invocation_params.args)
+        os.execve(sys.executable, [sys.executable, "-m", "pytest"] + args, env)
+
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
