@@ -75,8 +75,9 @@ class RasterizeConfig:
     # Capacity of the duplicated [tile|depth]-sorted instance list per frame.
     # The reference's `num_rendered` for 100k-1M gaussians is typically <2M.
     instance_capacity: int = 1 << 21
-    # Gaussians processed per inner chunk of the Pallas kernels.
-    chunk: int = 32
+    # Gaussians per inner chunk of the Pallas kernels; must be a multiple of
+    # the 128 lane width on real TPU (interpret mode accepts any value).
+    chunk: int = 128
     # Composite termination threshold (forward.cu:347).
     transmittance_eps: float = 1e-4
     # Per-splat alpha clamp (forward.cu:343-344).

@@ -9,11 +9,18 @@ TPU re-design of the CUDA pipeline in rasterizer_impl.cu:
   like the radix sort over bit-packed keys
 - identifyTileRanges                  (:116-138)    -> jnp.searchsorted
 
-The CUDA version allocates `num_rendered` dynamically per frame; here the
-instance list has a *static* capacity and the true required size is returned so
-overflow can be surfaced (never silently ignored) — SURVEY.md section 7.1 item 1.
-Instances that do not fit are dropped deterministically from the end of the
-emission order.
+Two TPU-specific deltas from the CUDA version:
+
+1. The instance list has a *static* capacity; the true required size is
+   returned so overflow is surfaced (never silent) — SURVEY.md section 7.1.
+   Overflowing instances drop deterministically from the end of emission order.
+2. Each tile's range is *aligned to the kernel chunk size* (128 = the TPU lane
+   width): after sorting, instances are scattered into a padded layout where
+   tile t owns rows [chunk_start[t]*chunk, +ceil(count/chunk)*chunk).  This is
+   what lets the Pallas kernels stream each tile's splats with lane-aligned
+   DMA slices, and gives the backward kernel an exclusive, disjoint slice of
+   gradient rows per tile (the no-atomics design).  Padding rows inside a
+   tile's last chunk point at gaussian 0 but are masked by the per-tile count.
 """
 
 from __future__ import annotations
@@ -25,12 +32,17 @@ import jax.numpy as jnp
 
 
 class Binning(NamedTuple):
-    gid: jnp.ndarray  # (K,) int32 gaussian index per instance, sorted
-    tile_of: jnp.ndarray  # (K,) int32 tile id per instance, sorted; num_tiles = invalid
-    tile_start: jnp.ndarray  # (T,) int32 first instance of each tile
-    tile_count: jnp.ndarray  # (T,) int32 instances in each tile
+    gid: jnp.ndarray  # (Kp,) int32 gaussian index per aligned instance slot
+    tile_chunk_start: jnp.ndarray  # (T,) int32 — first chunk index of each tile
+    tile_count: jnp.ndarray  # (T,) int32 instances in each tile (un-padded)
     num_instances: jnp.ndarray  # () int32 — instances actually emitted (<= K)
     required: jnp.ndarray  # () int32 — instances needed; > K means overflow
+    total_aligned: jnp.ndarray  # () int32 — rows in use incl. padding (<= Kp)
+
+
+def aligned_capacity(capacity: int, num_tiles: int, chunk: int) -> int:
+    """Static padded capacity: every tile can waste < chunk rows."""
+    return ((capacity + chunk - 1) // chunk) * chunk + num_tiles * chunk
 
 
 def bin_gaussians(
@@ -41,19 +53,21 @@ def bin_gaussians(
     grid_x: int,
     grid_y: int,
     capacity: int,
+    chunk: int,
 ) -> Binning:
-    """Expand each visible gaussian into one instance per touched tile and sort.
+    """Expand each visible gaussian into one instance per touched tile, sort by
+    (tile, depth), and lay the result out chunk-aligned per tile.
 
     Args:
       tiles_touched: (P,) int32 — 0 for culled gaussians.
       rect: (P, 4) int32 tile rect [x0, y0, x1, y1).
       depths: (P,) float32 view-space z (all > 0.2 for visible gaussians).
-      grid_x, grid_y: static tile grid dims.
-      capacity: static instance capacity K.
+      grid_x, grid_y, capacity, chunk: static geometry.
     """
     P = tiles_touched.shape[0]
     K = capacity
     num_tiles = grid_x * grid_y
+    Kp = aligned_capacity(K, num_tiles, chunk)
 
     t = tiles_touched.astype(jnp.int32)
     offsets = jnp.cumsum(t) - t  # exclusive prefix sum
@@ -89,13 +103,29 @@ def bin_gaussians(
     bounds = jnp.searchsorted(tile_sorted, tile_range, side="left").astype(jnp.int32)
     tile_start = bounds[:-1]
     tile_count = bounds[1:] - bounds[:-1]
-
     num_instances = jnp.minimum(required, K).astype(jnp.int32)
+
+    # Chunk-aligned re-layout: tile t's instances move to
+    # chunk_start[t]*chunk + within-tile rank.
+    chunks_per_tile = (tile_count + chunk - 1) // chunk
+    chunk_start = jnp.cumsum(chunks_per_tile) - chunks_per_tile  # exclusive
+    total_aligned = (chunk_start[-1] + chunks_per_tile[-1]) * chunk
+
+    in_tile = tile_sorted < num_tiles
+    safe_tile = jnp.minimum(tile_sorted, num_tiles - 1)
+    rank_in_tile = pos - tile_start[safe_tile]
+    new_pos = jnp.where(
+        in_tile, chunk_start[safe_tile] * chunk + rank_in_tile, Kp
+    )
+    gid_aligned = jnp.zeros((Kp,), jnp.int32).at[new_pos].set(
+        gid_sorted, mode="drop"
+    )
+
     return Binning(
-        gid=gid_sorted,
-        tile_of=tile_sorted,
-        tile_start=tile_start,
+        gid=gid_aligned,
+        tile_chunk_start=chunk_start,
         tile_count=tile_count,
         num_instances=num_instances,
         required=required.astype(jnp.int32),
+        total_aligned=total_aligned,
     )

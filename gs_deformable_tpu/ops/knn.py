@@ -1,0 +1,102 @@
+"""TPU k-NN: mean squared distance to the 3 nearest neighbors per point.
+
+Replacement for the CUDA ``simple-knn`` submodule (ext symbol ``distCUDA2``,
+/root/reference/submodules/simple-knn/spatial.cu:15-26, simple_knn.cu:45-220),
+used once at init to size gaussians (gaussian_model.py:818-819).
+
+The CUDA version Morton-sorts, seeds best-3 from +-3 Morton neighbors, then
+scans *all* 1024-point boxes with bbox rejection — i.e. it returns the exact
+3-NN, the Morton structure only prunes work.  The TPU re-design gets exactness
+a more MXU-friendly way: blocked all-pairs distances via the
+|x|^2 + |y|^2 - 2<x,y> expansion (one matmul per block on the MXU) and a
+``top_k``.  One-time init cost; ~N^2/2 FLOPs is sub-second on a chip for the
+reference's 100k random-init clouds (dataset_readers.py:291-299).
+
+``mean_sq_dist_knn3_window`` keeps a cheap Morton-window approximation for
+callers that want O(N log N) (e.g. per-step regularizers over millions of
+points).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _expand_bits(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of v so they occupy every 3rd bit
+    (prepMorton, simple_knn.cu:45-56)."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton_codes(points: jnp.ndarray) -> jnp.ndarray:
+    """30-bit Morton codes from bbox-normalized coordinates
+    (coord2Morton, simple_knn.cu:58-70)."""
+    lo = points.min(axis=0)
+    hi = points.max(axis=0)
+    rel = (points - lo) / jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip((rel * 1023.0), 0, 1023).astype(jnp.uint32)
+    x = _expand_bits(q[:, 0])
+    y = _expand_bits(q[:, 1])
+    z = _expand_bits(q[:, 2])
+    return (x | (y << 1) | (z << 2)).astype(jnp.uint32)
+
+
+def mean_sq_dist_knn3(points: jnp.ndarray, block: int = 512) -> jnp.ndarray:
+    """Exact per-point mean of squared distances to the 3 nearest neighbors —
+    the contract of ``distCUDA2`` (simple_knn.cu:147-183 averages the best-3
+    *squared* distances).
+
+    Args: points (N, 3) float32.  Returns (N,) float32.
+    """
+    n = points.shape[0]
+    nb = (n + block - 1) // block
+    npad = nb * block
+    pts = jnp.pad(points, ((0, npad - n), (0, 0)))
+    sq = jnp.sum(pts * pts, axis=-1)  # (Np,)
+    valid = jnp.arange(npad) < n
+
+    blocks = pts.reshape(nb, block, 3)
+    block_sq = sq.reshape(nb, block)
+    block_idx = jnp.arange(npad).reshape(nb, block)
+
+    def per_block(args):
+        bp, bsq, bidx = args
+        # d2[i, j] = |x_i|^2 + |y_j|^2 - 2 <x_i, y_j> — MXU matmul, no 3D temp.
+        cross = bp @ pts.T  # (block, Np)
+        d2 = bsq[:, None] + sq[None, :] - 2.0 * cross
+        d2 = jnp.where(valid[None, :], d2, jnp.inf)
+        # exclude self by index (robust to duplicate points)
+        d2 = jnp.where(bidx[:, None] == jnp.arange(npad)[None, :], jnp.inf, d2)
+        top3 = -jax.lax.top_k(-d2, 3)[0]  # (block, 3) smallest
+        return jnp.maximum(top3, 0.0).mean(axis=-1)
+
+    out = jax.lax.map(per_block, (blocks, block_sq, block_idx))
+    return out.reshape(npad)[:n].astype(points.dtype)
+
+
+def mean_sq_dist_knn3_window(points: jnp.ndarray, window: int = 64) -> jnp.ndarray:
+    """Approximate O(N log N) variant: exact top-3 over a +-window of Morton
+    neighbors.  Same spirit as the CUDA seeding pass (simple_knn.cu:147-160)."""
+    n = points.shape[0]
+    codes = morton_codes(points)
+    order = jnp.argsort(codes)
+    ps = points[order]
+
+    idx = jnp.arange(n)
+    offsets = jnp.concatenate([jnp.arange(-window, 0), jnp.arange(1, window + 1)])
+    cand = idx[:, None] + offsets[None, :]
+    in_range = (cand >= 0) & (cand < n)
+    cand_safe = jnp.clip(cand, 0, n - 1)
+    diffs = ps[cand_safe] - ps[:, None, :]
+    d2 = jnp.sum(diffs * diffs, axis=-1)
+    d2 = jnp.where(in_range, d2, jnp.inf)
+    top3 = -jax.lax.top_k(-d2, 3)[0]
+    mean3 = jnp.where(jnp.isinf(top3), 0.0, top3).sum(-1) / jnp.maximum(
+        (~jnp.isinf(top3)).sum(-1), 1
+    )
+    return jnp.zeros(n, points.dtype).at[order].set(mean3.astype(points.dtype))

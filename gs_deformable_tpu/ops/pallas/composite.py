@@ -5,24 +5,27 @@ Forward semantics match forward.cu:261-374; backward matches backward.cu:401-560
 re-design for TPU:
 
 - One grid step per 16x16 tile; the tile's depth-sorted instances stream from
-  HBM in fixed-size chunks via explicit async DMA (the analog of the CUDA
-  collective shared-memory fetch at forward.cu:313-322).
+  HBM in chunk-sized, *lane-aligned* DMA slices (the analog of the CUDA
+  collective shared-memory fetch at forward.cu:313-322).  The splat array is
+  field-major (16, Kp) and every tile's range starts on a chunk boundary
+  (ops/binning.py lays it out that way), so the DMA offset is provably a
+  multiple of the 128 lane width.
 - The per-pixel sequential front-to-back loop becomes *vectorized* compositing:
   transmittance is an exclusive cumulative product along the chunk axis
   (Hillis-Steele log-step scan on the VPU) and the reference's first-hit
   "done" test (forward.cu:346-351) is resolved with a min-reduction for the
   first terminating instance index — all 256 pixels ride the lane dimension.
 - No atomics exist on TPU: the backward writes per-*instance* gradient rows to
-  contiguous slots of the sorted instance list (this tile owns the slice), and
-  the per-gaussian reduction happens outside as the transpose of the XLA
-  gather that built the sorted splat array (a sorted segment-sum, the
-  TPU-native replacement for backward.cu's atomicAdd scatter).
+  its tile's exclusive aligned slice of the instance list, and the
+  per-gaussian reduction happens outside as the transpose of the XLA gather
+  that built the sorted splat array (a sorted segment-sum — the TPU-native
+  replacement for backward.cu's atomicAdd scatter).
 - The backward recomputes suffix color sums S_g = C_total - P_g from a prefix
   sum (triangular-matmul cumsum on the MXU) instead of the reference's
   back-to-front accum_rec recursion — same math, forward order, one pass.
 
-Splat row layout (16 f32 lanes): [x_pix, y_pix, conic_a, conic_b, conic_c,
-opacity, r, g, b, 0...].  Gradient row layout mirrors it.
+Field-major splat layout, 16 rows: [x_pix, y_pix, conic_a, conic_b, conic_c,
+opacity, r, g, b, 0...].  Gradient rows mirror it.
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SPLAT_WIDTH = 16
-_BIG = jnp.float32(1e9)
+_BIG = 1e9  # python float: jnp constants here would be captured by pallas_call
 
 
 def _shift_down(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
@@ -76,8 +79,8 @@ def _pixel_coords(tile_idx, grid_x: int, tile_x: int, tile_y: int):
 def _chunk_geometry(buf, px, py, chunk_base, count, alpha_max, alpha_min, chunk):
     """Shared forward/backward per-chunk splat evaluation.
 
-    Returns (alpha_hat, one_minus, t_excl_rel, skip, contrib-free pieces...).
-    alpha_hat is the clamped alpha with skipped rows zeroed.
+    ``buf`` is the (chunk, 16) row-major view of the chunk's splats.
+    Returns alpha_hat (clamped alpha, skipped rows zeroed) and friends.
     """
     xg = buf[:, 0:1]
     yg = buf[:, 1:2]
@@ -114,8 +117,10 @@ def _composite_step(a_hat, skip, t_in, done_in, eps, chunk):
     fd = jnp.min(jnp.where(dmask, row_b.astype(jnp.float32), _BIG), axis=0, keepdims=True)
     live = done_in < 0.5  # (1, npix)
     contrib = jnp.logical_not(skip) & (row_b.astype(jnp.float32) < fd) & live
+    # t_out = t_in * prod(om over contributing rows); Mosaic has no
+    # reduce_prod, so reuse the log-step scan and take its last row.
     om_eff = jnp.where(contrib, om, 1.0)
-    t_out = t_in * jnp.prod(om_eff, axis=0, keepdims=True)
+    t_out = t_in * _cumprod_incl(om_eff)[-1:, :]
     done_out = jnp.maximum(done_in, (fd < _BIG).astype(jnp.float32))
     return contrib, t_g, t_out, done_out
 
@@ -138,7 +143,7 @@ def _forward_kernel(
 ):
     npix = tile_x * tile_y
     t = pl.program_id(0)
-    start = start_ref[t]
+    start_chunk = start_ref[t]
     count = count_ref[t]
     px, py = _pixel_coords(t, grid_x, tile_x, tile_y)
     nchunks = pl.cdiv(count, chunk)
@@ -150,19 +155,20 @@ def _forward_kernel(
     def body(carry):
         i, t_acc, done, c0, c1, c2, nc = carry
         cp = pltpu.make_async_copy(
-            splats_hbm.at[pl.ds(start + i * chunk, chunk), :], buf, sem
+            splats_hbm.at[:, pl.ds((start_chunk + i) * chunk, chunk)], buf, sem
         )
         cp.start()
         cp.wait()
+        rows = jnp.transpose(buf[:])  # (chunk, 16)
         base = i * chunk
         a_hat, skip, _, _, _, row = _chunk_geometry(
-            buf[:], px, py, base, count, alpha_max, alpha_min, chunk
+            rows, px, py, base, count, alpha_max, alpha_min, chunk
         )
         contrib, t_g, t_acc, done = _composite_step(a_hat, skip, t_acc, done, eps, chunk)
         w = jnp.where(contrib, a_hat * t_g, 0.0)
-        c0 = c0 + jnp.sum(w * buf[:, 6:7], axis=0, keepdims=True)
-        c1 = c1 + jnp.sum(w * buf[:, 7:8], axis=0, keepdims=True)
-        c2 = c2 + jnp.sum(w * buf[:, 8:9], axis=0, keepdims=True)
+        c0 = c0 + jnp.sum(w * rows[:, 6:7], axis=0, keepdims=True)
+        c1 = c1 + jnp.sum(w * rows[:, 7:8], axis=0, keepdims=True)
+        c2 = c2 + jnp.sum(w * rows[:, 8:9], axis=0, keepdims=True)
         gidx = (base + row + 1).astype(jnp.float32)  # 1-based instance counter
         nc = jnp.maximum(
             nc, jnp.max(jnp.where(contrib, gidx, 0.0), axis=0, keepdims=True)
@@ -204,7 +210,7 @@ def _backward_kernel(
 ):
     npix = tile_x * tile_y
     t = pl.program_id(0)
-    start = start_ref[t]
+    start_chunk = start_ref[t]
     count = count_ref[t]
     px, py = _pixel_coords(t, grid_x, tile_x, tile_y)
     nchunks = pl.cdiv(count, chunk)
@@ -223,22 +229,23 @@ def _backward_kernel(
     def body(i, carry):
         t_acc, done, p0, p1, p2 = carry
         cp = pltpu.make_async_copy(
-            splats_hbm.at[pl.ds(start + i * chunk, chunk), :], buf, sem
+            splats_hbm.at[:, pl.ds((start_chunk + i) * chunk, chunk)], buf, sem
         )
         cp.start()
         cp.wait()
+        rows = jnp.transpose(buf[:])  # (chunk, 16)
         base = i * chunk
         a_hat, skip, g_exp, dx, dy, _ = _chunk_geometry(
-            buf[:], px, py, base, count, alpha_max, alpha_min, chunk
+            rows, px, py, base, count, alpha_max, alpha_min, chunk
         )
         contrib, t_g, t_out, done_out = _composite_step(
             a_hat, skip, t_acc, done, eps, chunk
         )
         cf = contrib.astype(jnp.float32)
         w = cf * a_hat * t_g  # alpha * T for contributing rows
-        col0 = buf[:, 6:7]
-        col1 = buf[:, 7:8]
-        col2 = buf[:, 8:9]
+        col0 = rows[:, 6:7]
+        col1 = rows[:, 7:8]
+        col2 = rows[:, 8:9]
 
         # Inclusive prefix sums of c*alpha*T along the chunk (MXU matmul), plus
         # the carry from earlier chunks.
@@ -257,15 +264,15 @@ def _backward_kernel(
             + gt * (-t_final * inv_om)
         )
         dalpha = cf * dalpha
-        op = buf[:, 5:6]
+        op = rows[:, 5:6]
         g_safe = jnp.where(skip, 0.0, g_exp)
         dl_dg = op * dalpha
         d_op = jnp.sum(g_safe * dalpha, axis=1, keepdims=True)
-        ca = buf[:, 2:3]
-        cb = buf[:, 3:4]
+        ca = rows[:, 2:3]
+        cb = rows[:, 3:4]
         gg = dl_dg * g_safe
         d_x = jnp.sum(gg * (-(ca * dx + cb * dy)), axis=1, keepdims=True)
-        cc = buf[:, 4:5]
+        cc = rows[:, 4:5]
         d_y = jnp.sum(gg * (-(cc * dy + cb * dx)), axis=1, keepdims=True)
         d_ca = jnp.sum(gg * (-0.5 * dx * dx), axis=1, keepdims=True)
         d_cb = jnp.sum(gg * (-dx * dy), axis=1, keepdims=True)
@@ -274,18 +281,14 @@ def _backward_kernel(
         d_c1 = jnp.sum(w * gc1, axis=1, keepdims=True)
         d_c2 = jnp.sum(w * gc2, axis=1, keepdims=True)
 
-        gbuf[:, 0:1] = d_x
-        gbuf[:, 1:2] = d_y
-        gbuf[:, 2:3] = d_ca
-        gbuf[:, 3:4] = d_cb
-        gbuf[:, 4:5] = d_cc
-        gbuf[:, 5:6] = d_op
-        gbuf[:, 6:7] = d_c0
-        gbuf[:, 7:8] = d_c1
-        gbuf[:, 8:9] = d_c2
-        gbuf[:, 9:16] = jnp.zeros((chunk, 7), jnp.float32)
+        grads = jnp.concatenate(
+            [d_x, d_y, d_ca, d_cb, d_cc, d_op, d_c0, d_c1, d_c2,
+             jnp.zeros((chunk, SPLAT_WIDTH - 9), jnp.float32)],
+            axis=1,
+        )  # (chunk, 16)
+        gbuf[:] = jnp.transpose(grads)  # (16, chunk)
         wcp = pltpu.make_async_copy(
-            gbuf, dsplat_hbm.at[pl.ds(start + i * chunk, chunk), :], gsem
+            gbuf, dsplat_hbm.at[:, pl.ds((start_chunk + i) * chunk, chunk)], gsem
         )
         wcp.start()
         wcp.wait()
@@ -296,18 +299,6 @@ def _backward_kernel(
     jax.lax.fori_loop(0, nchunks, body, (ones, zeros, zeros, zeros, zeros))
 
 
-def _static_fields(params):
-    return dict(
-        grid_x=params["grid_x"],
-        tile_x=params["tile_x"],
-        tile_y=params["tile_y"],
-        chunk=params["chunk"],
-        alpha_max=params["alpha_max"],
-        alpha_min=params["alpha_min"],
-        eps=params["eps"],
-    )
-
-
 @functools.lru_cache(maxsize=None)
 def make_tile_composite(
     *,
@@ -316,7 +307,7 @@ def make_tile_composite(
     tile_x: int,
     tile_y: int,
     chunk: int,
-    capacity: int,
+    padded_capacity: int,
     alpha_max: float = 0.99,
     alpha_min: float = 1.0 / 255.0,
     eps: float = 1e-4,
@@ -324,11 +315,13 @@ def make_tile_composite(
 ):
     """Build the differentiable tile-compositing op for a static geometry.
 
-    Returns comp(splats_sorted (K,16), tile_start (T,), tile_count (T,)) ->
+    Returns comp(splats_T (16, Kp), tile_chunk_start (T,), tile_count (T,)) ->
     (T, 8, npix) with rows [r, g, b, final_T, n_contrib, 0, 0, 0].
     """
     num_tiles = grid_x * grid_y
     npix = tile_x * tile_y
+    Kp = padded_capacity
+    assert Kp % chunk == 0
     kw = dict(
         grid_x=grid_x,
         tile_x=tile_x,
@@ -344,12 +337,12 @@ def make_tile_composite(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(num_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=pl.BlockSpec(
                 (1, 8, npix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((chunk, SPLAT_WIDTH), jnp.float32),
+                pltpu.VMEM((SPLAT_WIDTH, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
@@ -366,7 +359,7 @@ def make_tile_composite(
             num_scalar_prefetch=2,
             grid=(num_tiles,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # splats
+                pl.BlockSpec(memory_space=pltpu.HBM),  # splats (16, Kp)
                 pl.BlockSpec(
                     (1, 8, npix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
                 ),  # forward outputs
@@ -374,15 +367,15 @@ def make_tile_composite(
                     (1, 8, npix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
                 ),  # upstream grads
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
             scratch_shapes=[
-                pltpu.VMEM((chunk, SPLAT_WIDTH), jnp.float32),
-                pltpu.VMEM((chunk, SPLAT_WIDTH), jnp.float32),
+                pltpu.VMEM((SPLAT_WIDTH, chunk), jnp.float32),
+                pltpu.VMEM((SPLAT_WIDTH, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((capacity + chunk, SPLAT_WIDTH), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((SPLAT_WIDTH, Kp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -390,25 +383,24 @@ def make_tile_composite(
     )
 
     @jax.custom_vjp
-    def comp(splats, tile_start, tile_count):
-        return fwd_call(tile_start, tile_count, splats)
+    def comp(splats_t, tile_chunk_start, tile_count):
+        return fwd_call(tile_chunk_start, tile_count, splats_t)
 
-    def comp_fwd(splats, tile_start, tile_count):
-        out = fwd_call(tile_start, tile_count, splats)
-        return out, (splats, tile_start, tile_count, out)
+    def comp_fwd(splats_t, tile_chunk_start, tile_count):
+        out = fwd_call(tile_chunk_start, tile_count, splats_t)
+        return out, (splats_t, tile_chunk_start, tile_count, out)
 
     def comp_bwd(res, g):
-        splats, tile_start, tile_count, out = res
-        dsplats = bwd_call(tile_start, tile_count, splats, out, g)[: splats.shape[0]]
-        # Rows past the last written instance slot are uninitialized memory;
+        splats_t, tile_chunk_start, tile_count, out = res
+        dsplats = bwd_call(tile_chunk_start, tile_count, splats_t, out, g)
+        # Columns past the last aligned instance slot are uninitialized memory;
         # zero everything that no tile owns.
-        num = tile_start[-1] + tile_count[-1]
-        row_ok = (
-            jnp.arange(splats.shape[0], dtype=jnp.int32) < num
-        )[:, None]
-        dsplats = jnp.where(row_ok, dsplats, 0.0)
-        f0 = np.zeros((), jax.dtypes.float0)
-        zi = jnp.broadcast_to(f0, tile_start.shape)
+        total = (
+            tile_chunk_start[-1] + (tile_count[-1] + chunk - 1) // chunk
+        ) * chunk
+        col_ok = (jnp.arange(Kp, dtype=jnp.int32) < total)[None, :]
+        dsplats = jnp.where(col_ok, dsplats, 0.0)
+        zi = np.zeros(tile_chunk_start.shape, jax.dtypes.float0)
         return (dsplats, zi, zi)
 
     comp.defvjp(comp_fwd, comp_bwd)

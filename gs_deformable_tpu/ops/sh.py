@@ -121,7 +121,9 @@ def eval_sh_color(
     Returns: (N, 3) RGB in [0, inf) after the +0.5 offset and zero clamp.
     """
     dirs = means - campos[None, :]
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    # The 1e-12 floor only matters for a gaussian exactly at the camera center
+    # (the CUDA forward.cu:27 would NaN there too) — it keeps backward clean.
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
     # (N, K, 3) -> (N, 3, K) channel-major for eval_sh.
     vals = eval_sh(deg, jnp.swapaxes(sh, -1, -2), dirs)
     return jnp.maximum(vals + 0.5, 0.0)

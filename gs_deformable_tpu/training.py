@@ -1,0 +1,310 @@
+"""Jitted training step, densification step, schedules — the hot loop.
+
+The TPU re-design of the reference's training iteration
+(/root/reference/train.py:92-697): one jitted function fuses deformation MLP ->
+activations -> EWA preprocess -> SH -> tiled rasterize -> L1+SSIM+offset-norm
+loss -> full backward -> per-group Adam, so XLA schedules the whole step on
+device with no host round-trips.  Densification and opacity reset are separate
+jitted functions invoked on the reference's schedule by the host loop
+(train.py:610-648).
+
+Loss (train.py:323-332, 529):
+  Ll1' = L1(img, gt) + lambda_offset_norm * mean(|dx|)      (0.1 hard-coded)
+  loss = (1 - lambda_dssim) * Ll1' + lambda_dssim * (1 - SSIM)
+The offset-norm mean runs over *alive* gaussians (the reference has no dead
+slots; averaging garbage offsets of free capacity slots would poison the MLP).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .config import Config
+from .models import deform as deform_mod
+from .models.gaussians import (
+    AdamState,
+    GaussianState,
+    PARAM_GROUPS,
+    adam_init,
+    adam_step,
+    add_densification_stats,
+    densify_and_prune,
+    reset_opacity,
+)
+from .renderer import CameraArrays, render
+from .utils.general import expon_lr, psnr
+from .utils.losses import l1_loss, ssim
+
+
+@struct.dataclass
+class TrainState:
+    gaussians: GaussianState
+    deform: Any  # offset_model params (or SE(3) net)
+    latent: Any  # latent per-head nets (checkpoint-surface parity)
+    adam: AdamState
+    key: jnp.ndarray
+
+
+def init_train_state(
+    state: GaussianState, seed: int, cfg: Config
+) -> TrainState:
+    k = jax.random.PRNGKey(seed)
+    k, k_off, k_lat = jax.random.split(k, 3)
+    if cfg.model.deform_mode == "se3":
+        deform_params = deform_mod.init_se3_net(k_off, cfg.deform)
+    else:
+        deform_params = deform_mod.init_offset_net(k_off, cfg.deform)
+    latent = deform_mod.make_latent_heads(k_lat, cfg.deform)
+    params = {**state.params(), "offset_model": deform_params}
+    return TrainState(
+        gaussians=state,
+        deform=deform_params,
+        latent=latent,
+        adam=adam_init(params),
+        key=k,
+    )
+
+
+def learning_rates(
+    iteration: jnp.ndarray, cfg: Config, spatial_lr_scale: float
+) -> Dict[str, jnp.ndarray]:
+    """Per-group LRs (training_setup + update_learning_rate,
+    gaussian_model.py:834-886): xyz and offset_model follow exponential decay;
+    the rest are constants."""
+    o = cfg.opt
+    return {
+        "xyz": expon_lr(
+            iteration,
+            o.position_lr_init * spatial_lr_scale,
+            o.position_lr_final * spatial_lr_scale,
+            lr_delay_mult=o.position_lr_delay_mult,
+            lr_delay_steps=0,
+            max_steps=o.position_lr_max_steps,
+        ),
+        "offset_model": expon_lr(
+            iteration, o.offset_lr_init, o.offset_lr_final,
+            max_steps=o.position_lr_max_steps,
+        ),
+        "f_dc": jnp.float32(o.feature_lr),
+        "f_rest": jnp.float32(o.feature_lr / 20.0),
+        "opacity": jnp.float32(o.opacity_lr),
+        "scaling": jnp.float32(o.scaling_lr),
+        "rotation": jnp.float32(o.rotation_lr),
+    }
+
+
+def make_train_step(
+    cfg: Config,
+    *,
+    width: int,
+    height: int,
+    tan_fovx: float,
+    tan_fovy: float,
+    active_sh_degree: int,
+    spatial_lr_scale: float,
+    interpret: Optional[bool] = None,
+):
+    """Build the jitted single-camera training step for a static geometry."""
+
+    def step(
+        ts: TrainState,
+        cam: CameraArrays,
+        gt_image: jnp.ndarray,
+        bg: jnp.ndarray,
+        iteration: jnp.ndarray,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        gstate = ts.gaussians
+        alive_f = gstate.alive.astype(jnp.float32)
+        P = gstate.capacity
+
+        def loss_fn(gparams, dparams, screen_zero):
+            st = gstate.with_params(gparams)
+            out, dx = render(
+                st,
+                dparams,
+                cam,
+                iteration=iteration,
+                bg=bg,
+                width=width,
+                height=height,
+                tan_fovx=tan_fovx,
+                tan_fovy=tan_fovy,
+                active_sh_degree=active_sh_degree,
+                cfg=cfg,
+                means2d_offset_ndc=screen_zero,
+                latent_heads=ts.latent,
+                interpret=interpret,
+            )
+            img = out.image
+            ll1 = l1_loss(img, gt_image)
+            # NaN-free norm: dx is exactly zero for dead slots and during
+            # warmup, where sqrt's gradient is undefined — double-where trick.
+            sq = jnp.sum(dx * dx, axis=-1)
+            nz = sq > 0
+            norms = jnp.sqrt(jnp.where(nz, sq, 1.0)) * nz.astype(jnp.float32)
+            offset_norm = jnp.sum(norms * alive_f) / jnp.maximum(alive_f.sum(), 1.0)
+            ll1_aug = ll1 + cfg.opt.lambda_offset_norm * offset_norm
+            ssim_val = ssim(img, gt_image)
+            loss = (1.0 - cfg.opt.lambda_dssim) * ll1_aug + cfg.opt.lambda_dssim * (
+                1.0 - ssim_val
+            )
+            aux = {
+                "ll1": ll1,
+                "offset_norm": offset_norm,
+                "ssim": ssim_val,
+                "psnr": psnr(img[None], gt_image[None]).mean(),
+                "radii": out.radii,
+                "visibility": out.visibility,
+                "required": out.required_instances,
+            }
+            return loss, aux
+
+        screen_zero = jnp.zeros((P, 2), jnp.float32)
+        (loss, aux), (g_gauss, g_deform, g_screen) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(gstate.params(), ts.deform, screen_zero)
+
+        # Densification stats from the NDC mean2D gradient tap
+        # (train.py:613-618, gaussian_model.py:1252-1257); only while the
+        # densification phase is active.
+        in_densify = iteration < cfg.opt.densify_until_iter
+        gstate = jax.lax.cond(
+            in_densify,
+            lambda s: add_densification_stats(
+                s, g_screen, aux["visibility"], aux["radii"]
+            ),
+            lambda s: s,
+            gstate,
+        )
+
+        params = {**gstate.params(), "offset_model": ts.deform}
+        grads = {**g_gauss, "offset_model": g_deform}
+        lrs = learning_rates(iteration, cfg, spatial_lr_scale)
+        new_params, new_adam = adam_step(
+            params, grads, ts.adam, lrs,
+            b1=cfg.opt.adam_b1, b2=cfg.opt.adam_b2, eps=cfg.opt.adam_eps,
+        )
+        new_deform = new_params.pop("offset_model")
+        gstate = gstate.with_params(new_params)
+
+        metrics = {
+            "loss": loss,
+            "ll1": aux["ll1"],
+            "ssim": aux["ssim"],
+            "psnr": aux["psnr"],
+            "offset_norm": aux["offset_norm"],
+            "required_instances": aux["required"],
+            "n_alive": gstate.num_alive,
+        }
+        new_ts = ts.replace(gaussians=gstate, deform=new_deform, adam=new_adam)
+        return new_ts, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_densify_step(cfg: Config, extent: float, use_screen_prune: bool):
+    """Jitted densify_and_prune on the reference gates (train.py:643-645)."""
+
+    def run(ts: TrainState, grad_threshold, min_opacity):
+        key, sub = jax.random.split(ts.key)
+        mu = {k: ts.adam.mu[k] for k in PARAM_GROUPS}
+        nu = {k: ts.adam.nu[k] for k in PARAM_GROUPS}
+        gstate, mu, nu, info = densify_and_prune(
+            ts.gaussians, mu, nu, sub,
+            grad_threshold=grad_threshold,
+            min_opacity=min_opacity,
+            extent=extent,
+            percent_dense=cfg.opt.percent_dense,
+            use_screen_prune=use_screen_prune,
+            max_screen_size=float(cfg.opt.max_screen_size),
+        )
+        new_mu = {**ts.adam.mu, **mu}
+        new_nu = {**ts.adam.nu, **nu}
+        adam = ts.adam.replace(mu=new_mu, nu=new_nu)
+        return ts.replace(gaussians=gstate, adam=adam, key=key), info._asdict()
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
+def make_opacity_reset(cfg: Config):
+    def run(ts: TrainState):
+        mu = {k: ts.adam.mu[k] for k in PARAM_GROUPS}
+        nu = {k: ts.adam.nu[k] for k in PARAM_GROUPS}
+        gstate, mu, nu = reset_opacity(ts.gaussians, mu, nu)
+        adam = ts.adam.replace(mu={**ts.adam.mu, **mu}, nu={**ts.adam.nu, **nu})
+        return ts.replace(gaussians=gstate, adam=adam)
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
+def make_eval_render(
+    cfg: Config,
+    *,
+    width: int,
+    height: int,
+    tan_fovx: float,
+    tan_fovy: float,
+    active_sh_degree: int,
+    interpret: Optional[bool] = None,
+):
+    """Jitted no-grad render for eval sweeps (training_report, train.py:722-757)."""
+
+    def run(ts: TrainState, cam: CameraArrays, bg: jnp.ndarray, iteration):
+        out, _ = render(
+            ts.gaussians, ts.deform, cam,
+            iteration=iteration, bg=bg, width=width, height=height,
+            tan_fovx=tan_fovx, tan_fovy=tan_fovy,
+            active_sh_degree=active_sh_degree, cfg=cfg,
+            latent_heads=ts.latent, interpret=interpret,
+        )
+        return out.image
+
+    return jax.jit(run)
+
+
+def grow_capacity(ts: TrainState, new_capacity: int) -> TrainState:
+    """Host-side capacity growth (re-jit bucketing): pad every per-gaussian
+    array to the new capacity.  The reference instead reallocates per densify
+    (SURVEY.md 7.1 item 1); bucketed growth keeps jit shapes stable between
+    rare doublings."""
+    g = ts.gaussians
+    old = g.capacity
+    extra = new_capacity - old
+    assert extra > 0
+
+    def pad(x, fill=0.0):
+        if not hasattr(x, "ndim") or x.ndim == 0 or x.shape[0] != old:
+            return x
+        return jnp.pad(
+            x, [(0, extra)] + [(0, 0)] * (x.ndim - 1), constant_values=fill
+        )
+
+    rot = pad(g.rotation)
+    rot = rot.at[old:, 0].set(1.0)
+    new_g = GaussianState(
+        xyz=pad(g.xyz),
+        f_dc=pad(g.f_dc),
+        f_rest=pad(g.f_rest),
+        opacity=pad(g.opacity),
+        scaling=pad(g.scaling),
+        rotation=rot,
+        alive=pad(g.alive, False),
+        max_radii2d=pad(g.max_radii2d),
+        xyz_gradient_accum=pad(g.xyz_gradient_accum),
+        denom=pad(g.denom),
+    )
+    new_mu = {
+        k: (pad(v) if k in PARAM_GROUPS else v) for k, v in ts.adam.mu.items()
+    }
+    new_nu = {
+        k: (pad(v) if k in PARAM_GROUPS else v) for k, v in ts.adam.nu.items()
+    }
+    return ts.replace(
+        gaussians=new_g, adam=ts.adam.replace(mu=new_mu, nu=new_nu)
+    )

@@ -1,0 +1,93 @@
+"""Deformation nets vs a torch mirror with identical weights
+(reference: DirectTemporalNeRF, gaussian_model.py:242-316)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from gs_deformable_tpu.config import DeformConfig
+from gs_deformable_tpu.models import deform
+
+
+def torch_mirror(params, x, t, multires_x, multires_t, skips):
+    """Independent torch implementation of posenc + skip-MLP + heads."""
+
+    def enc(v, L):
+        feats = [v]
+        for i in range(L):
+            feats += [torch.sin(v * 2.0**i), torch.cos(v * 2.0**i)]
+        return torch.cat(feats, -1)
+
+    xe = enc(x, multires_x)
+    te = enc(t, multires_t)
+    h = torch.cat([xe, te], -1)
+    for i, layer in enumerate(params["layers"]):
+        w = torch.from_numpy(np.asarray(layer["w"]))
+        b = torch.from_numpy(np.asarray(layer["b"]))
+        h = torch.relu(h @ w + b)
+        if i in skips:
+            h = torch.cat([xe, h], -1)
+    outs = []
+    for head in params["heads"]:
+        w = torch.from_numpy(np.asarray(head["w"]))
+        b = torch.from_numpy(np.asarray(head["b"]))
+        outs.append(h @ w + b)
+    return outs
+
+
+def test_offset_net_matches_torch_mirror(rng):
+    cfg = DeformConfig(depth=4, width=64)
+    params = deform.init_offset_net(jax.random.PRNGKey(0), cfg)
+    n = 17
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    t = np.float32(0.375)
+    got = deform.deform_offsets(
+        params, jnp.asarray(xyz), t, jnp.asarray(5000), cfg
+    )
+    tx = torch.from_numpy(xyz)
+    tt = torch.full((n, 1), float(t))
+    want = torch_mirror(params, tx, tt, cfg.multires_xyz, cfg.multires_time, cfg.skips)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_warmup_gate(rng):
+    cfg = DeformConfig(depth=2, width=32, warmup_iters=3000)
+    params = deform.init_offset_net(jax.random.PRNGKey(1), cfg)
+    xyz = jnp.asarray(rng.normal(size=(8, 3)), jnp.float32)
+    outs_warm = deform.deform_offsets(params, xyz, 0.5, jnp.asarray(2999), cfg)
+    for o in outs_warm:
+        np.testing.assert_array_equal(np.asarray(o), 0.0)
+    outs_live = deform.deform_offsets(params, xyz, 0.5, jnp.asarray(3000), cfg)
+    assert any(float(jnp.abs(o).max()) > 0 for o in outs_live)
+
+
+def test_se3_net_rigid_motion(rng):
+    cfg = DeformConfig(depth=2, width=32)
+    params = deform.init_se3_net(jax.random.PRNGKey(2), cfg)
+    xyz = jnp.asarray(rng.normal(size=(12, 3)), jnp.float32)
+    # warmup: identity
+    same = deform.deform_se3(params, xyz, 0.3, jnp.asarray(100), cfg)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(xyz))
+    moved = deform.deform_se3(params, xyz, 0.3, jnp.asarray(5000), cfg)
+    assert np.isfinite(np.asarray(moved)).all()
+    assert float(jnp.abs(moved - xyz).max()) > 0
+    # gradients flow to the net parameters
+    g = jax.grad(
+        lambda p: jnp.sum(deform.deform_se3(p, xyz, 0.3, jnp.asarray(5000), cfg) ** 2)
+    )(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_opacity_mask_gate(rng):
+    cfg = DeformConfig(depth=2, width=32)
+    heads = deform.make_latent_heads(jax.random.PRNGKey(3), cfg)
+    xyz = jnp.asarray(rng.normal(size=(6, 3)), jnp.float32)
+    ones = deform.opacity_mask_gate(heads, xyz, 0.2, jnp.asarray(10), cfg)
+    np.testing.assert_array_equal(np.asarray(ones), 1.0)
+    gate = deform.opacity_mask_gate(heads, xyz, 0.2, jnp.asarray(9000), cfg)
+    a = np.asarray(gate)
+    assert ((a > 0) & (a < 1)).all()

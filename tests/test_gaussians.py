@@ -1,0 +1,158 @@
+"""Gaussian state, Adam parity with torch, densify/prune slot semantics
+(reference: gaussian_model.py:632-1257)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from gs_deformable_tpu.models import gaussians as G
+
+
+def make_state(rng, n=6, cap=16):
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    return G.init_from_points(pts, cols, capacity=cap, sh_degree=3)
+
+
+def test_init_from_points(rng):
+    st = make_state(rng)
+    assert int(st.num_alive) == 6
+    assert st.capacity == 16
+    np.testing.assert_allclose(np.asarray(st.get_opacity())[:6], 0.1, rtol=1e-5)
+    # scales replicate log(sqrt(knn)) across the 3 axes
+    s = np.asarray(st.scaling[:6])
+    assert (s[:, 0] == s[:, 1]).all() and (s[:, 1] == s[:, 2]).all()
+    # identity quats everywhere (incl. dead slots for finite activations)
+    np.testing.assert_array_equal(np.asarray(st.rotation[:, 0]), 1.0)
+    assert not bool(st.alive[6:].any())
+
+
+def test_adam_matches_torch(rng):
+    p0 = rng.normal(size=(5, 3)).astype(np.float32)
+    lr = 0.01
+    params = {"xyz": jnp.asarray(p0)}
+    opt = G.adam_init(params)
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    topt = torch.optim.Adam([tp], lr=lr, eps=1e-15)
+    for i in range(4):
+        g = rng.normal(size=(5, 3)).astype(np.float32)
+        params, opt = G.adam_step(
+            params, {"xyz": jnp.asarray(g)}, opt, {"xyz": jnp.float32(lr)}
+        )
+        tp.grad = torch.from_numpy(g.copy())
+        topt.step()
+    np.testing.assert_allclose(np.asarray(params["xyz"]), tp.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def _zero_moments(st):
+    p = st.params()
+    z = {k: jnp.zeros_like(v) for k, v in p.items()}
+    return z, {k: jnp.zeros_like(v) for k, v in p.items()}
+
+
+def test_densify_clone_and_split(rng):
+    st = make_state(rng, n=4, cap=32)
+    # gaussian 0: high grad + small scale -> clone; 1: high grad + big scale -> split
+    scal = np.asarray(st.scaling).copy()
+    scal[:] = np.log(0.001)  # below percent_dense * extent -> clone regime
+    scal[1] = np.log(10.0)  # above -> split regime
+    st = st.replace(scaling=jnp.asarray(scal))
+    accum = np.zeros((32, 1), np.float32)
+    accum[0] = accum[1] = 1.0
+    denom = np.zeros((32, 1), np.float32)
+    denom[:4] = 1.0
+    st = st.replace(xyz_gradient_accum=jnp.asarray(accum), denom=jnp.asarray(denom))
+    mu, nu = _zero_moments(st)
+    mu["xyz"] = mu["xyz"] + 7.0  # sentinel: surviving moments preserved
+    st2, mu2, nu2, info = G.densify_and_prune(
+        st, mu, nu, jax.random.PRNGKey(0),
+        grad_threshold=0.5, min_opacity=0.005, extent=1.0,
+        percent_dense=0.01, use_screen_prune=False,
+    )
+    assert int(info.n_cloned) == 1 and int(info.n_split) == 1
+    # 4 alive - 1 split parent + 1 clone + 2 children = 6
+    assert int(info.n_alive) == 6
+    alive = np.asarray(st2.alive)
+    assert not alive[1]  # split parent killed
+    # clone of 0 exists somewhere with identical params
+    xyz2 = np.asarray(st2.xyz)
+    clones = [i for i in range(4, 32) if alive[i] and np.allclose(xyz2[i], xyz2[0])]
+    assert len(clones) == 1
+    # children carry scale/1.6 of the parent
+    child_scale = np.log(10.0 / 1.6)
+    children = [i for i in range(4, 32) if alive[i] and np.allclose(np.asarray(st2.scaling)[i], child_scale)]
+    assert len(children) == 2
+    # moments: new slots zeroed, survivors keep the sentinel
+    mu_xyz = np.asarray(mu2["xyz"])
+    assert np.all(mu_xyz[clones[0]] == 0.0) and np.all(mu_xyz[0] == 7.0)
+    # stats reset (densification_postfix :1123-1127)
+    assert float(jnp.abs(st2.xyz_gradient_accum).max()) == 0.0
+    assert float(st2.max_radii2d.max()) == 0.0
+
+
+def test_densify_prune_low_opacity(rng):
+    st = make_state(rng, n=4, cap=8)
+    op = np.asarray(st.opacity).copy()
+    op[2] = -10.0  # sigmoid ~ 0 < min_opacity
+    st = st.replace(opacity=jnp.asarray(op))
+    mu, nu = _zero_moments(st)
+    st2, _, _, info = G.densify_and_prune(
+        st, mu, nu, jax.random.PRNGKey(0),
+        grad_threshold=0.5, min_opacity=0.005, extent=1.0,
+        percent_dense=0.01, use_screen_prune=False,
+    )
+    assert not bool(st2.alive[2])
+    assert int(info.n_pruned) == 1
+
+
+def test_densify_capacity_overflow_drops(rng):
+    st = make_state(rng, n=6, cap=8)  # only 2 free slots
+    st = st.replace(scaling=jnp.full_like(st.scaling, np.log(0.001)))  # clone regime
+    accum = np.ones((8, 1), np.float32)
+    denom = np.ones((8, 1), np.float32)
+    st = st.replace(xyz_gradient_accum=jnp.asarray(accum), denom=jnp.asarray(denom))
+    mu, nu = _zero_moments(st)
+    st2, _, _, info = G.densify_and_prune(
+        st, mu, nu, jax.random.PRNGKey(0),
+        grad_threshold=0.5, min_opacity=0.005, extent=1.0,
+        percent_dense=0.01, use_screen_prune=False,
+    )
+    assert int(info.n_dropped) == 4  # 6 clones wanted, 2 slots
+    assert int(info.n_alive) == 8
+
+
+def test_screen_prune_world_size(rng):
+    st = make_state(rng, n=4, cap=8)
+    scal = np.asarray(st.scaling).copy()
+    scal[3] = np.log(100.0)  # way over 0.1 * extent
+    st = st.replace(scaling=jnp.asarray(scal))
+    mu, nu = _zero_moments(st)
+    st2, _, _, _ = G.densify_and_prune(
+        st, mu, nu, jax.random.PRNGKey(0),
+        grad_threshold=0.5, min_opacity=0.005, extent=1.0,
+        percent_dense=0.01, use_screen_prune=True,
+    )
+    assert not bool(st2.alive[3])
+
+
+def test_reset_opacity(rng):
+    st = make_state(rng)
+    mu, nu = _zero_moments(st)
+    mu["opacity"] = mu["opacity"] + 3.0
+    st2, mu2, _ = G.reset_opacity(st, mu, nu)
+    assert float(st2.get_opacity().max()) <= 0.01 + 1e-6
+    assert float(jnp.abs(mu2["opacity"]).max()) == 0.0
+
+
+def test_stats_accumulation(rng):
+    st = make_state(rng, n=4, cap=8)
+    grad = jnp.asarray(rng.normal(size=(8, 2)), jnp.float32)
+    vis = jnp.asarray([True, False, True, False, False, False, False, False])
+    radii = jnp.asarray([5, 0, 9, 0, 0, 0, 0, 0], jnp.int32)
+    st2 = G.add_densification_stats(st, grad, vis, radii)
+    want0 = np.linalg.norm(np.asarray(grad)[0, :2])
+    np.testing.assert_allclose(float(st2.xyz_gradient_accum[0, 0]), want0, rtol=1e-6)
+    assert float(st2.denom[1, 0]) == 0.0
+    assert float(st2.max_radii2d[2]) == 9.0

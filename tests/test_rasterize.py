@@ -1,0 +1,167 @@
+"""Tiled Pallas rasterizer vs the dense oracle: forward image and gradients.
+
+This is BASELINE.json configs 1-2: image parity and parameter-gradient parity.
+The dense oracle (ops/rasterize_dense.py) replicates the CUDA reference
+semantics exactly; agreement here transfers that parity to the tiled kernels.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gs_deformable_tpu.config import RasterizeConfig
+from gs_deformable_tpu.ops import projection as proj
+from gs_deformable_tpu.ops import transforms as tf
+from gs_deformable_tpu.ops.rasterize import rasterize_arrays, render_gaussians
+from gs_deformable_tpu.ops.rasterize_dense import rasterize_dense
+
+W, H = 80, 48
+CFG = RasterizeConfig(instance_capacity=4096, chunk=8)
+
+
+def make_scene(rng, n=200, seed_depth_ties=False):
+    fovx, fovy = 0.9, 0.7
+    view = np.eye(4, dtype=np.float32)
+    projm = tf.projection_matrix(0.01, 100.0, fovx, fovy)
+    full = view @ projm
+    means = np.stack(
+        [rng.uniform(-1.6, 1.6, n), rng.uniform(-1.0, 1.0, n), rng.uniform(2.5, 9.0, n)],
+        -1,
+    ).astype(np.float32)
+    if seed_depth_ties:
+        means[: n // 4, 2] = 4.0  # exact depth ties exercise sort stability
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    s = np.exp(rng.normal(size=(n, 3)) * 0.5 - 2.4).astype(np.float32)
+    cov6 = tf.build_cov3d(jnp.asarray(s), jnp.asarray(q, jnp.float32))
+    colors = jnp.asarray(rng.uniform(0.0, 1.0, (n, 3)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.2, 0.98, n), jnp.float32)
+    pre = proj.preprocess(
+        jnp.asarray(means), cov6, jnp.asarray(view), jnp.asarray(full),
+        width=W, height=H, tan_fovx=np.tan(fovx / 2), tan_fovy=np.tan(fovy / 2),
+    )
+    return pre, opac, colors, (jnp.asarray(means), jnp.asarray(s), jnp.asarray(q, jnp.float32),
+                               view, full, fovx, fovy)
+
+
+@pytest.mark.parametrize("ties", [False, True])
+def test_forward_matches_dense(rng, ties):
+    pre, opac, colors, _ = make_scene(rng, seed_depth_ties=ties)
+    bg = jnp.asarray([0.15, 0.3, 0.45])
+    dense = rasterize_dense(
+        pre.means2d_pix, pre.depths, pre.conics, opac, colors,
+        pre.rect, pre.mask, bg, width=W, height=H,
+    )
+    img, final_t, n_contrib, required = rasterize_arrays(
+        pre.means2d_pix, pre.depths, pre.conics, opac, colors,
+        pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=CFG,
+    )
+    assert int(required) <= CFG.instance_capacity
+    np.testing.assert_allclose(np.asarray(img), np.asarray(dense.color), rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(final_t), np.asarray(dense.final_t), rtol=1e-4, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(n_contrib), np.asarray(dense.n_contrib))
+
+
+def test_gradients_match_dense(rng):
+    pre, opac, colors, _ = make_scene(rng, n=120)
+    bg = jnp.asarray([1.0, 1.0, 1.0])
+    wimg = jnp.asarray(rng.normal(size=(3, H, W)), jnp.float32)
+    wt = jnp.asarray(rng.normal(size=(H, W)), jnp.float32)
+
+    def loss_dense(p2d, con, op, col):
+        out = rasterize_dense(
+            p2d, pre.depths, con, op, col, pre.rect, pre.mask, bg, width=W, height=H
+        )
+        return jnp.sum(out.color * wimg) + jnp.sum(out.final_t * wt)
+
+    def loss_tiled(p2d, con, op, col):
+        img, final_t, _, _ = rasterize_arrays(
+            p2d, pre.depths, con, op, col, pre.rect, pre.tiles_touched, bg,
+            width=W, height=H, cfg=CFG,
+        )
+        return jnp.sum(img * wimg) + jnp.sum(final_t * wt)
+
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(
+        pre.means2d_pix, pre.conics, opac, colors
+    )
+    gt = jax.grad(loss_tiled, argnums=(0, 1, 2, 3))(
+        pre.means2d_pix, pre.conics, opac, colors
+    )
+    names = ["means2d", "conics", "opacity", "colors"]
+    for name, a, b in zip(names, gd, gt):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-5 * scale, err_msg=name)
+
+
+def test_full_render_gradients_finite_and_match_dense_path(rng):
+    """End-to-end render_gaussians: gradients to 3D params via tiled path equal
+    the dense path through the same differentiable preprocess."""
+    pre, opac, colors, (means, s, q, view, full, fovx, fovy) = make_scene(rng, n=80)
+    bg = jnp.zeros(3)
+    K = 16
+    shs = jnp.asarray(rng.normal(size=(80, K, 3)) * 0.3, jnp.float32)
+    wimg = jnp.asarray(rng.normal(size=(3, H, W)), jnp.float32)
+    log_s = jnp.log(s)
+    inv_op = jnp.log(opac / (1 - opac))
+
+    def fwd(mu, ls, qq, io, sh_, use_dense):
+        scales = jnp.exp(ls)
+        rots = qq / jnp.linalg.norm(qq, axis=-1, keepdims=True)
+        op = jax.nn.sigmoid(io)
+        cov6 = tf.build_cov3d(scales, rots)
+        p = proj.preprocess(
+            mu, cov6, jnp.asarray(view), jnp.asarray(full),
+            width=W, height=H, tan_fovx=np.tan(fovx / 2), tan_fovy=np.tan(fovy / 2),
+        )
+        from gs_deformable_tpu.ops import sh as sh_ops
+        col = sh_ops.eval_sh_color(3, sh_, mu, jnp.zeros(3))
+        if use_dense:
+            out = rasterize_dense(
+                p.means2d_pix, p.depths, p.conics, op, col, p.rect, p.mask, bg,
+                width=W, height=H,
+            )
+            return jnp.sum(out.color * wimg)
+        img, _, _, _ = rasterize_arrays(
+            p.means2d_pix, p.depths, p.conics, op, col, p.rect, p.tiles_touched, bg,
+            width=W, height=H, cfg=CFG,
+        )
+        return jnp.sum(img * wimg)
+
+    args = (means, log_s, q, inv_op, shs)
+    gd = jax.grad(lambda *a: fwd(*a, True), argnums=(0, 1, 2, 3, 4))(*args)
+    gt = jax.grad(lambda *a: fwd(*a, False), argnums=(0, 1, 2, 3, 4))(*args)
+    for name, a, b in zip(["means3d", "log_scales", "quats", "inv_opacity", "shs"], gd, gt):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all() and np.isfinite(b).all(), name
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-5 * scale, err_msg=name)
+
+
+def test_overflow_surfaced(rng):
+    pre, opac, colors, _ = make_scene(rng, n=200)
+    small = RasterizeConfig(instance_capacity=256, chunk=8)
+    img, final_t, _, required = rasterize_arrays(
+        pre.means2d_pix, pre.depths, pre.conics, opac, colors,
+        pre.rect, pre.tiles_touched, jnp.zeros(3), width=W, height=H, cfg=small,
+    )
+    assert int(required) > 256  # overflow reported, not silent
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_empty_scene(rng):
+    n = 8
+    pre, opac, colors, _ = make_scene(rng, n=n)
+    zero_tiles = jnp.zeros_like(pre.tiles_touched)
+    bg = jnp.asarray([0.3, 0.6, 0.9])
+    img, final_t, n_contrib, required = rasterize_arrays(
+        pre.means2d_pix, pre.depths, pre.conics, opac, colors,
+        pre.rect, zero_tiles, bg, width=W, height=H, cfg=CFG,
+    )
+    assert int(required) == 0
+    np.testing.assert_allclose(np.asarray(final_t), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(img), np.broadcast_to(np.asarray(bg)[:, None, None], (3, H, W)),
+        atol=1e-7,
+    )

@@ -1,0 +1,127 @@
+"""End-to-end training step on a tiny synthetic scene (CPU, interpret mode).
+
+Covers the fused step of training.py: deform MLP -> render -> loss -> backward
+-> Adam, plus densify/opacity-reset scheduling pieces and capacity growth."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gs_deformable_tpu.config import (
+    Config, DeformConfig, ModelConfig, RasterizeConfig,
+)
+from gs_deformable_tpu.models import gaussians as G
+from gs_deformable_tpu.renderer import CameraArrays
+from gs_deformable_tpu import training
+from gs_deformable_tpu.ops import transforms as tf
+
+W, H = 48, 32
+
+
+def tiny_config():
+    return Config(
+        model=ModelConfig(sh_degree=1),
+        # sh_coeffs must equal (sh_degree+1)^2 so the shs head matches features
+        deform=DeformConfig(depth=2, width=32, warmup_iters=5, sh_coeffs=4),
+        raster=RasterizeConfig(instance_capacity=2048, chunk=8),
+    )
+
+
+def make_setup(rng, n=40, cap=64, sh_degree=1):
+    pts = np.stack(
+        [rng.uniform(-1, 1, n), rng.uniform(-0.7, 0.7, n), rng.uniform(3, 6, n)], -1
+    ).astype(np.float32)
+    cols = rng.uniform(0.2, 0.8, (n, 3)).astype(np.float32)
+    state = G.init_from_points(pts, cols, capacity=cap, sh_degree=sh_degree)
+    fov = 0.8
+    view = np.eye(4, dtype=np.float32)
+    proj = tf.projection_matrix(0.01, 100.0, fov, fov)
+    cam = CameraArrays(
+        world_view=jnp.asarray(view),
+        full_proj=jnp.asarray(view @ proj),
+        camera_center=jnp.zeros(3),
+        time=jnp.float32(0.4),
+    )
+    return state, cam, fov
+
+
+def test_train_step_reduces_loss(rng):
+    cfg = tiny_config()
+    state, cam, fov = make_setup(rng)
+    ts = training.init_train_state(state, seed=0, cfg=cfg)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
+    bg = jnp.zeros(3)
+    tan = float(np.tan(fov / 2))
+    step = training.make_train_step(
+        cfg, width=W, height=H, tan_fovx=tan, tan_fovy=tan,
+        active_sh_degree=0, spatial_lr_scale=1.0,
+    )
+    losses = []
+    for it in range(1, 16):
+        ts, m = step(ts, cam, gt, bg, jnp.asarray(it))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(m["n_alive"]) == 40
+    assert int(m["required_instances"]) <= cfg.raster.instance_capacity
+
+
+def test_densify_and_reset_steps(rng):
+    cfg = tiny_config()
+    state, cam, fov = make_setup(rng)
+    ts = training.init_train_state(state, seed=0, cfg=cfg)
+    # seed stats so something densifies
+    accum = np.zeros((64, 1), np.float32)
+    accum[:10] = 1.0
+    denom = np.zeros((64, 1), np.float32)
+    denom[:40] = 1.0
+    ts = ts.replace(
+        gaussians=ts.gaussians.replace(
+            xyz_gradient_accum=jnp.asarray(accum), denom=jnp.asarray(denom)
+        )
+    )
+    densify = training.make_densify_step(cfg, extent=5.0, use_screen_prune=False)
+    ts2, info = densify(ts, jnp.float32(0.5), jnp.float32(0.005))
+    assert int(info["n_cloned"]) + int(info["n_split"]) > 0
+    reset = training.make_opacity_reset(cfg)
+    ts3 = reset(ts2)
+    assert float(ts3.gaussians.get_opacity().max()) <= 0.01 + 1e-6
+    assert float(jnp.abs(ts3.adam.mu["opacity"]).max()) == 0.0
+
+
+def test_warmup_keeps_canonical(rng):
+    """During warmup (iteration < warmup_iters) offsets are zero, so the
+    offset-norm term must be exactly 0 (gaussian_model.py:308-313)."""
+    cfg = tiny_config()
+    state, cam, fov = make_setup(rng)
+    ts = training.init_train_state(state, seed=0, cfg=cfg)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
+    tan = float(np.tan(fov / 2))
+    step = training.make_train_step(
+        cfg, width=W, height=H, tan_fovx=tan, tan_fovy=tan,
+        active_sh_degree=0, spatial_lr_scale=1.0,
+    )
+    ts, m = step(ts, cam, gt, jnp.zeros(3), jnp.asarray(1))
+    assert float(m["offset_norm"]) == 0.0
+
+
+def test_grow_capacity(rng):
+    cfg = tiny_config()
+    state, cam, fov = make_setup(rng, n=40, cap=64)
+    ts = training.init_train_state(state, seed=0, cfg=cfg)
+    mu_before = np.asarray(ts.adam.mu["xyz"])
+    ts2 = training.grow_capacity(ts, 128)
+    assert ts2.gaussians.capacity == 128
+    assert int(ts2.gaussians.num_alive) == 40
+    np.testing.assert_array_equal(np.asarray(ts2.adam.mu["xyz"])[:64], mu_before)
+    # deform params untouched
+    assert jax.tree_util.tree_structure(ts2.deform) == jax.tree_util.tree_structure(ts.deform)
+    # grown state still trains
+    gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
+    tan = float(np.tan(fov / 2))
+    step = training.make_train_step(
+        cfg, width=W, height=H, tan_fovx=tan, tan_fovy=tan,
+        active_sh_degree=0, spatial_lr_scale=1.0,
+    )
+    ts3, m = step(ts2, cam, gt, jnp.zeros(3), jnp.asarray(3))
+    assert np.isfinite(float(m["loss"]))
