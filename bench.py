@@ -1,0 +1,125 @@
+"""Benchmark: 1080p render throughput + train iters/s on the local chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Primary metric: pixels/s/chip rendering a 1080p frame of a synthetic 100k-
+gaussian deformable scene (SH degree 3, deformation MLP active).  The baseline
+reference point is the upstream 3DGS citation of >= 30 fps at 1080p
+(submodules/diff-gaussian-rasterization/README.md:3), i.e. 62.2 Mpix/s;
+vs_baseline = value / 62.2e6.  Extras report train iters/s at 800x800.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gs_deformable_tpu.config import (
+        Config, DeformConfig, ModelConfig, RasterizeConfig,
+    )
+    from gs_deformable_tpu.models import gaussians as G
+    from gs_deformable_tpu.ops import transforms as tf
+    from gs_deformable_tpu.renderer import CameraArrays, render
+    from gs_deformable_tpu import training
+
+    rng = np.random.default_rng(0)
+    n = 100_000
+    cap = 131_072
+    cfg = Config(
+        raster=RasterizeConfig(instance_capacity=1 << 20, chunk=128),
+    )
+
+    pts = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-1.2, 1.2, n), rng.uniform(2.5, 12, n)],
+        -1,
+    ).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    state = G.init_from_points(pts, cols, capacity=cap, sh_degree=3)
+    ts = training.init_train_state(state, seed=0, cfg=cfg)
+
+    fov = 1.0
+    view = np.eye(4, dtype=np.float32)
+
+    def camera(width, height):
+        fovy = 2 * np.arctan(np.tan(fov / 2) * height / width)
+        proj = tf.projection_matrix(0.01, 100.0, fov, fovy)
+        cam = CameraArrays(
+            world_view=jnp.asarray(view),
+            full_proj=jnp.asarray(view @ proj),
+            camera_center=jnp.zeros(3),
+            time=jnp.float32(0.5),
+        )
+        return cam, float(np.tan(fov / 2)), float(np.tan(fovy / 2))
+
+    # ---- 1080p render throughput -------------------------------------
+    W, H = 1920, 1080
+    cam, tanx, tany = camera(W, H)
+
+    @jax.jit
+    def render_frame(gaussians, deform, c, t):
+        out, _ = render(
+            gaussians, deform, c, iteration=jnp.asarray(10_000),
+            bg=jnp.zeros(3), width=W, height=H, tan_fovx=tanx, tan_fovy=tany,
+            active_sh_degree=3, cfg=cfg,
+        )
+        return out.image, out.required_instances
+
+    t0 = time.time()
+    img, req = render_frame(ts.gaussians, ts.deform, cam, 0)
+    img.block_until_ready()
+    compile_s = time.time() - t0
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        img, req = render_frame(ts.gaussians, ts.deform, cam, 0)
+    img.block_until_ready()
+    dt = (time.time() - t0) / iters
+    pix_per_s = W * H / dt
+
+    # ---- train iters/s at 800x800 ------------------------------------
+    Wt = Ht = 800
+    cam_t, tx, ty = camera(Wt, Ht)
+    step = training.make_train_step(
+        cfg, width=Wt, height=Ht, tan_fovx=tx, tan_fovy=ty,
+        active_sh_degree=3, spatial_lr_scale=1.0,
+    )
+    gt = jnp.asarray(rng.uniform(0, 1, (3, Ht, Wt)), jnp.float32)
+    ts_local = ts
+    t0 = time.time()
+    ts_local, m = step(ts_local, cam_t, gt, jnp.zeros(3), jnp.asarray(5000))
+    jax.block_until_ready(m["loss"])
+    train_compile_s = time.time() - t0
+    iters_t = 10
+    t0 = time.time()
+    for i in range(iters_t):
+        ts_local, m = step(ts_local, cam_t, gt, jnp.zeros(3), jnp.asarray(5000 + i))
+    jax.block_until_ready(m["loss"])
+    train_dt = (time.time() - t0) / iters_t
+
+    result = {
+        "metric": "render_pixels_per_s_per_chip_1080p",
+        "value": round(pix_per_s, 1),
+        "unit": "pixels/s",
+        "vs_baseline": round(pix_per_s / 62.2e6, 4),
+        "render_ms_1080p": round(dt * 1e3, 2),
+        "train_iters_per_s_800px": round(1.0 / train_dt, 3),
+        "train_ms_800px": round(train_dt * 1e3, 2),
+        "gaussians": n,
+        "required_instances": int(req),
+        "loss_finite": bool(jnp.isfinite(m["loss"])),
+        "compile_s_render": round(compile_s, 1),
+        "compile_s_train": round(train_compile_s, 1),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,7 +84,14 @@ def rotmat2qvec(R: np.ndarray) -> np.ndarray:
 
 def read_points3d_binary(path: str):
     """points3D.bin -> (xyz (N,3), rgb (N,3), errors (N,1))
-    (colmap_loader.py:101-131)."""
+    (colmap_loader.py:101-131).  Dispatches to the native C++ parser
+    (native/colmap_io.cpp) when built; Python fallback below."""
+    from ..io import native
+
+    if native.available():
+        res = native.read_points3d_bin(path)
+        if res is not None:
+            return res
     with open(path, "rb") as f:
         n = struct.unpack("<Q", f.read(8))[0]
         xyz = np.empty((n, 3))
@@ -116,7 +123,20 @@ def read_points3d_text(path: str):
 
 
 def read_intrinsics_binary(path: str) -> Dict[int, ColmapCamera]:
-    """cameras.bin (colmap_loader.py:221-245)."""
+    """cameras.bin (colmap_loader.py:221-245); native fast path when built."""
+    from ..io import native
+
+    if native.available():
+        res = native.read_cameras_bin(path)
+        if res is not None:
+            return {
+                c["id"]: ColmapCamera(
+                    id=c["id"], model=CAMERA_MODELS[c["model_id"]][0],
+                    width=c["width"], height=c["height"],
+                    params=c["params"][: CAMERA_MODELS[c["model_id"]][1]],
+                )
+                for c in res
+            }
     cams = {}
     with open(path, "rb") as f:
         n = struct.unpack("<Q", f.read(8))[0]
@@ -146,7 +166,21 @@ def read_intrinsics_text(path: str) -> Dict[int, ColmapCamera]:
 
 
 def read_extrinsics_binary(path: str) -> Dict[int, ColmapImage]:
-    """images.bin (colmap_loader.py:186-219)."""
+    """images.bin (colmap_loader.py:186-219); native fast path when built
+    (skips the 2D tracks, which the active pipeline never reads)."""
+    from ..io import native
+
+    if native.available():
+        res = native.read_images_bin(path)
+        if res is not None:
+            return {
+                im["id"]: ColmapImage(
+                    id=im["id"], qvec=im["qvec"], tvec=im["tvec"],
+                    camera_id=im["camera_id"], name=im["name"],
+                    xys=np.empty((0, 2)), point3d_ids=np.empty(0, np.int64),
+                )
+                for im in res
+            }
     images = {}
     with open(path, "rb") as f:
         n = struct.unpack("<Q", f.read(8))[0]

@@ -1,0 +1,173 @@
+"""Offline eval renderer: ``python -m gs_deformable_tpu.render_cli -m <model>``.
+
+Mirrors /root/reference/render.py:25-76: load the trained model at the chosen
+iteration, render train/test camera sets to PNGs (with a gt/ side directory),
+report per-set PSNR, and optionally dump per-timestep deformed point clouds
+(save_ply semantics of gaussian_renderer/__init__.py:165-167).
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import os
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from . import training
+from .config import Config, DeformConfig, ModelConfig, RasterizeConfig
+from .data.cameras import Camera
+from .data.scene import Scene
+from .io import model_ply
+from .models import deform as deform_mod
+from .train import cam_arrays, nets_dict
+from .utils.general import psnr as psnr_fn
+
+
+def search_max_iteration(folder: str) -> int:
+    """searchForMaxIteration (system_utils.py:26-28)."""
+    iters = [
+        int(d.split("_")[-1])
+        for d in os.listdir(folder)
+        if d.startswith("iteration_")
+    ]
+    return max(iters)
+
+
+def load_cfg_args(model_path: str) -> dict:
+    """get_combined_args' cfg_args re-read (arguments/__init__.py:91-111),
+    parsed safely instead of eval()."""
+    path = os.path.join(model_path, "cfg_args")
+    with open(path) as f:
+        text = f.read().strip()
+    assert text.startswith("Namespace(")
+    return _parse_namespace_kwargs(text[len("Namespace("):-1])
+
+
+def _parse_namespace_kwargs(inner: str) -> dict:
+    out = {}
+    node = ast.parse(f"f({inner})", mode="eval").body
+    for kw in node.keywords:
+        out[kw.arg] = ast.literal_eval(kw.value)
+    return out
+
+
+def render_set(model_path, name, iteration, cams: List[Camera], ts, cfg,
+               active_sh, bg, save_ply_frames=False, state=None):
+    render_path = os.path.join(model_path, name, f"ours_{iteration}", "renders")
+    gts_path = os.path.join(model_path, name, f"ours_{iteration}", "gt")
+    os.makedirs(render_path, exist_ok=True)
+    os.makedirs(gts_path, exist_ok=True)
+    psnrs = []
+    eval_cache = {}
+    for idx, cam in enumerate(cams):
+        key = (cam.width, cam.height, round(cam.fovx, 6))
+        if key not in eval_cache:
+            eval_cache[key] = training.make_eval_render(
+                cfg, width=cam.width, height=cam.height,
+                tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+                active_sh_degree=active_sh,
+            )
+        img = eval_cache[key](ts, cam_arrays(cam), bg, jnp.asarray(10**9))
+        img = np.clip(np.asarray(img), 0, 1)
+        Image.fromarray((img.transpose(1, 2, 0) * 255).astype(np.uint8)).save(
+            os.path.join(render_path, f"{idx:05d}.png")
+        )
+        if cam.image is not None:
+            gt = np.clip(cam.image, 0, 1)
+            Image.fromarray((gt.transpose(1, 2, 0) * 255).astype(np.uint8)).save(
+                os.path.join(gts_path, f"{idx:05d}.png")
+            )
+            psnrs.append(
+                float(psnr_fn(jnp.asarray(img)[None], jnp.asarray(gt)[None]).mean())
+            )
+        if save_ply_frames and state is not None:
+            # per-timestep deformed dump (save_ply_t, gaussian_model.py:932-958)
+            dx, *_ = deform_mod.deform_offsets(
+                ts.deform, state.xyz, jnp.float32(cam.time), jnp.asarray(10**9),
+                cfg.deform,
+            )
+            model_ply.save_ply(
+                os.path.join(model_path, name, f"ours_{iteration}", "ply"),
+                state, xyz_override=np.asarray(state.xyz + dx),
+                filename=f"points_{idx:05d}.ply",
+            )
+    if psnrs:
+        print(f"[{name}] PSNR: {np.mean(psnrs):.3f} over {len(psnrs)} views")
+    return psnrs
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", "-m", required=True)
+    p.add_argument("--iteration", type=int, default=-1)
+    p.add_argument("--skip_train", action="store_true")
+    p.add_argument("--skip_test", action="store_true")
+    p.add_argument("--save_ply", action="store_true")
+    p.add_argument("--source_path", "-s", default=None)
+    args = p.parse_args(argv)
+
+    saved = load_cfg_args(args.model_path)
+    source = args.source_path or saved.get("source_path")
+    sh_degree = saved.get("sh_degree", 3)
+    white_bg = saved.get("white_background", False)
+    cfg = Config(
+        model=ModelConfig(sh_degree=sh_degree, white_background=white_bg,
+                          deform_mode=saved.get("deform_mode", "offset")),
+        deform=DeformConfig(sh_coeffs=(sh_degree + 1) ** 2,
+                            warmup_iters=saved.get("warmup_iters", 3000)),
+        raster=RasterizeConfig(
+            instance_capacity=saved.get("instance_capacity", RasterizeConfig().instance_capacity),
+            chunk=saved.get("chunk", RasterizeConfig().chunk),
+        ),
+    )
+
+    iteration = args.iteration
+    pc_root = os.path.join(args.model_path, "point_cloud")
+    if iteration == -1:
+        iteration = search_max_iteration(pc_root)
+    print(f"Loading trained model at iteration {iteration}")
+    pc_dir = os.path.join(pc_root, f"iteration_{iteration}")
+
+    scene = Scene(
+        source_path=source, model_path="", images=saved.get("images", "images"),
+        eval=saved.get("eval", False), white_background=white_bg,
+        resolution=saved.get("resolution", -1), shuffle=False,
+    )
+    n_loaded = 0
+    state, active_sh = model_ply.load_ply(
+        os.path.join(pc_dir, "point_cloud.ply"),
+        capacity=_next_pow2_from_ply(os.path.join(pc_dir, "point_cloud.ply")),
+        sh_degree=sh_degree,
+    )
+    ts = training.init_train_state(state, 0, cfg)
+    off_path = os.path.join(pc_dir, "offset_model.npz")
+    if os.path.exists(off_path):
+        ts = ts.replace(deform=model_ply.load_net(off_path, ts.deform))
+
+    bg = jnp.asarray([1.0, 1.0, 1.0] if white_bg else [0.0, 0.0, 0.0])
+    if not args.skip_train:
+        render_set(args.model_path, "train", iteration,
+                   scene.get_train_cameras(), ts, cfg, active_sh, bg,
+                   save_ply_frames=args.save_ply, state=state)
+    if not args.skip_test:
+        render_set(args.model_path, "test", iteration,
+                   scene.get_test_cameras(), ts, cfg, active_sh, bg,
+                   save_ply_frames=args.save_ply, state=state)
+
+
+def _next_pow2_from_ply(path: str) -> int:
+    from .io.ply import read_ply
+
+    n = len(read_ply(path)["x"])
+    cap = 1
+    while cap < max(n, 2):
+        cap *= 2
+    return cap
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,399 @@
+"""Training CLI: ``python -m gs_deformable_tpu.train -s <scene> [-m out]``.
+
+Host loop mirroring /root/reference/train.py:92-789 (active path):
+- random camera pop from a reshuffled stack (:155-160)
+- SH degree +1 every 1000 iterations (:151-152)
+- jitted fused step (deform -> render -> loss -> backward -> Adam)
+- densify/prune every `densification_interval` in [densify_from, densify_until)
+  with min_opacity 0.005 and the size-threshold switch after the first opacity
+  reset (:610-648); opacity reset every `opacity_reset_interval`
+- eval sweeps at --test_iterations, PLY saves at --save_iterations, full
+  checkpoints at --checkpoint_iterations (:548-551, :685-697)
+- cfg_args persisted for eval-time re-merge (prepare_output_and_logger :700-720)
+
+TPU-specific host machinery: per-resolution jit cache, bucketed capacity growth
+(re-jit on rare doublings instead of per-densify reallocation), TensorBoard
+via tensorboardX when available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import uuid
+from random import randint
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import training
+from .config import (
+    Config,
+    DeformConfig,
+    ModelConfig,
+    OptimizationConfig,
+    RasterizeConfig,
+)
+from .data.cameras import Camera
+from .data.scene import Scene
+from .io import checkpoint as ckpt_io
+from .io import model_ply
+from .models import gaussians as G
+from .renderer import CameraArrays
+from .utils.general import psnr as psnr_fn
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU deformable gaussian splatting trainer")
+    # ModelParams (arguments/__init__.py:47-62)
+    p.add_argument("--source_path", "-s", required=True)
+    p.add_argument("--model_path", "-m", default="")
+    p.add_argument("--images", "-i", default="images")
+    p.add_argument("--resolution", "-r", type=int, default=-1)
+    p.add_argument("--white_background", "-w", action="store_true")
+    p.add_argument("--sh_degree", type=int, default=3)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--deform_mode", choices=["offset", "se3", "none"], default="offset")
+    p.add_argument("--use_opacity_mask", action="store_true")
+    # OptimizationParams (arguments/__init__.py:71-89)
+    o = OptimizationConfig()
+    for name in (
+        "iterations position_lr_init position_lr_final position_lr_delay_mult "
+        "position_lr_max_steps feature_lr opacity_lr scaling_lr rotation_lr "
+        "percent_dense lambda_dssim densification_interval opacity_reset_interval "
+        "densify_from_iter densify_until_iter densify_grad_threshold min_opacity "
+        "lambda_offset_norm offset_lr_init offset_lr_final"
+    ).split():
+        default = getattr(o, name)
+        p.add_argument(f"--{name}", type=type(default), default=default)
+    # TPU capacity / kernel knobs
+    p.add_argument("--capacity", type=int, default=0, help="0 = auto (2x init points)")
+    p.add_argument("--instance_capacity", type=int, default=RasterizeConfig().instance_capacity)
+    p.add_argument("--chunk", type=int, default=RasterizeConfig().chunk)
+    p.add_argument("--warmup_iters", type=int, default=DeformConfig().warmup_iters)
+    # schedule / io
+    p.add_argument("--test_iterations", nargs="+", type=int,
+                   default=[7_000, 15_000] + list(range(20_000, 40_001, 10_000)))
+    p.add_argument("--save_iterations", nargs="+", type=int,
+                   default=[7_000, 15_000] + list(range(20_000, 40_001, 10_000)))
+    p.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
+    p.add_argument("--start_checkpoint", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--random_init_points", type=int,
+                   default=ModelConfig().random_init_points)
+    return p
+
+
+def config_from_args(args) -> Config:
+    K = (args.sh_degree + 1) ** 2
+    return Config(
+        model=ModelConfig(
+            sh_degree=args.sh_degree,
+            source_path=args.source_path,
+            model_path=args.model_path,
+            images=args.images,
+            resolution=args.resolution,
+            white_background=args.white_background,
+            eval=args.eval,
+            deform_mode=args.deform_mode,
+            use_opacity_mask=args.use_opacity_mask,
+            random_init_points=args.random_init_points,
+        ),
+        deform=DeformConfig(warmup_iters=args.warmup_iters, sh_coeffs=K),
+        raster=RasterizeConfig(
+            instance_capacity=args.instance_capacity, chunk=args.chunk
+        ),
+        opt=OptimizationConfig(
+            iterations=args.iterations,
+            position_lr_init=args.position_lr_init,
+            position_lr_final=args.position_lr_final,
+            position_lr_delay_mult=args.position_lr_delay_mult,
+            position_lr_max_steps=args.position_lr_max_steps,
+            offset_lr_init=args.offset_lr_init,
+            offset_lr_final=args.offset_lr_final,
+            feature_lr=args.feature_lr,
+            opacity_lr=args.opacity_lr,
+            scaling_lr=args.scaling_lr,
+            rotation_lr=args.rotation_lr,
+            percent_dense=args.percent_dense,
+            lambda_dssim=args.lambda_dssim,
+            lambda_offset_norm=args.lambda_offset_norm,
+            densification_interval=args.densification_interval,
+            opacity_reset_interval=args.opacity_reset_interval,
+            densify_from_iter=args.densify_from_iter,
+            densify_until_iter=args.densify_until_iter,
+            densify_grad_threshold=args.densify_grad_threshold,
+            min_opacity=args.min_opacity,
+        ),
+    )
+
+
+def prepare_output_dir(args) -> str:
+    """prepare_output_and_logger (train.py:700-720)."""
+    model_path = args.model_path
+    if not model_path:
+        unique = os.getenv("OAR_JOB_ID") or str(uuid.uuid4())
+        model_path = os.path.join("./output/", unique[:10])
+    os.makedirs(model_path, exist_ok=True)
+    with open(os.path.join(model_path, "cfg_args"), "w") as f:
+        f.write(repr(argparse.Namespace(**vars(args))))
+    return model_path
+
+
+def cam_arrays(cam: Camera) -> CameraArrays:
+    return CameraArrays(
+        world_view=jnp.asarray(cam.world_view),
+        full_proj=jnp.asarray(cam.full_proj),
+        camera_center=jnp.asarray(cam.camera_center),
+        time=jnp.float32(cam.time),
+    )
+
+
+class Trainer:
+    """Owns the jit caches keyed by (resolution, sh degree, capacity)."""
+
+    def __init__(self, cfg: Config, scene: Scene, seed: int):
+        self.cfg = cfg
+        self.scene = scene
+        self.spatial_lr_scale = scene.cameras_extent
+        self.active_sh_degree = 0
+        self._step_cache: Dict[Tuple, object] = {}
+        self._eval_cache: Dict[Tuple, object] = {}
+        self._densify_cache: Dict[Tuple, object] = {}
+        self._reset_fn = None
+
+        info = scene.scene_info
+        pcd = info.point_cloud
+        n = pcd.points.shape[0]
+        cap = cfg_capacity(cfg, n)
+        print(f"Number of points at initialisation : {n} (capacity {cap})")
+        state = G.init_from_points(pcd.points, pcd.colors, capacity=cap,
+                                   sh_degree=cfg.model.sh_degree)
+        self.ts = training.init_train_state(state, seed, cfg)
+
+    # -- jit caches -------------------------------------------------------
+    def step_fn(self, cam: Camera):
+        key = (cam.width, cam.height, round(cam.fovx, 6), round(cam.fovy, 6),
+               self.active_sh_degree, self.ts.gaussians.capacity)
+        if key not in self._step_cache:
+            self._step_cache[key] = training.make_train_step(
+                self.cfg, width=cam.width, height=cam.height,
+                tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+                active_sh_degree=self.active_sh_degree,
+                spatial_lr_scale=self.spatial_lr_scale,
+            )
+        return self._step_cache[key]
+
+    def eval_fn(self, cam: Camera):
+        key = (cam.width, cam.height, round(cam.fovx, 6), round(cam.fovy, 6),
+               self.active_sh_degree, self.ts.gaussians.capacity)
+        if key not in self._eval_cache:
+            self._eval_cache[key] = training.make_eval_render(
+                self.cfg, width=cam.width, height=cam.height,
+                tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+                active_sh_degree=self.active_sh_degree,
+            )
+        return self._eval_cache[key]
+
+    def densify_fn(self, use_screen_prune: bool):
+        key = (use_screen_prune, self.ts.gaussians.capacity)
+        if key not in self._densify_cache:
+            self._densify_cache[key] = training.make_densify_step(
+                self.cfg, extent=self.scene.cameras_extent,
+                use_screen_prune=use_screen_prune,
+            )
+        return self._densify_cache[key]
+
+    def reset_fn(self):
+        if self._reset_fn is None:
+            self._reset_fn = training.make_opacity_reset(self.cfg)
+        return self._reset_fn
+
+    def maybe_grow(self):
+        g = self.ts.gaussians
+        alive = int(g.num_alive)
+        if alive > 0.8 * g.capacity:
+            new_cap = g.capacity * 2
+            print(f"\n[capacity] growing {g.capacity} -> {new_cap} (alive {alive})")
+            self.ts = training.grow_capacity(self.ts, new_cap)
+
+    def one_up_sh_degree(self):
+        if self.active_sh_degree < self.cfg.model.sh_degree:
+            self.active_sh_degree += 1
+
+
+def cfg_capacity(cfg: Config, n_init: int) -> int:
+    cap = 1
+    while cap < 2 * n_init:
+        cap *= 2
+    return cap
+
+
+def nets_dict(ts: training.TrainState) -> dict:
+    return {
+        "offset_model": ts.deform,
+        "offset_model_rot": ts.latent["rot"],
+        "offset_model_scaling": ts.latent["scaling"],
+        "opacity_mask": ts.latent["opacity_mask"],
+        "shs_model": ts.latent["shs"],
+    }
+
+
+def training_report(trainer: Trainer, iteration: int, bg, tb=None):
+    """Eval PSNR/L1 over test and a train subset (train.py:722-757)."""
+    results = {}
+    for name, cams in [
+        ("test", trainer.scene.get_test_cameras()),
+        ("train", trainer.scene.get_train_cameras()[:5]),
+    ]:
+        if not cams:
+            continue
+        l1s, psnrs = [], []
+        for cam in cams[:20]:
+            img = trainer.eval_fn(cam)(
+                trainer.ts, cam_arrays(cam), bg, jnp.asarray(iteration)
+            )
+            img = jnp.clip(img, 0.0, 1.0)
+            gt = jnp.clip(jnp.asarray(cam.image), 0.0, 1.0)
+            l1s.append(float(jnp.abs(img - gt).mean()))
+            psnrs.append(float(psnr_fn(img[None], gt[None]).mean()))
+        results[name] = (float(np.mean(l1s)), float(np.mean(psnrs)))
+        print(f"\n[ITER {iteration}] Evaluating {name}: L1 {results[name][0]:.5f} "
+              f"PSNR {results[name][1]:.2f}")
+        if tb is not None:
+            tb.add_scalar(f"{name}/loss_viewpoint - l1_loss", results[name][0], iteration)
+            tb.add_scalar(f"{name}/loss_viewpoint - psnr", results[name][1], iteration)
+    return results
+
+
+def train(args) -> str:
+    cfg = config_from_args(args)
+    model_path = prepare_output_dir(args)
+    print("Output folder:", model_path)
+
+    scene = Scene(
+        source_path=args.source_path,
+        model_path=model_path,
+        images=args.images,
+        eval=args.eval,
+        white_background=args.white_background,
+        resolution=args.resolution,
+        random_init_points=cfg.model.random_init_points,
+    )
+    trainer = Trainer(cfg, scene, args.seed)
+
+    tb = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        tb = SummaryWriter(model_path)
+    except Exception:
+        print("tensorboardX not available: not logging progress")
+
+    first_iter = 0
+    if args.start_checkpoint:
+        trainer.ts, first_iter = ckpt_io.load_checkpoint(
+            args.start_checkpoint, trainer.ts
+        )
+        print(f"Resumed from {args.start_checkpoint} at iteration {first_iter}")
+        trainer.active_sh_degree = min(
+            first_iter // 1000, cfg.model.sh_degree
+        )
+
+    bg = jnp.asarray([1.0, 1.0, 1.0] if args.white_background else [0.0, 0.0, 0.0])
+    viewpoint_stack = []
+    ema_loss = 0.0
+    t_start = time.time()
+    opacity_reset_happened = False
+
+    for iteration in range(first_iter + 1, cfg.opt.iterations + 1):
+        if iteration % 1000 == 0:
+            trainer.one_up_sh_degree()
+
+        if not viewpoint_stack:
+            viewpoint_stack = trainer.scene.get_train_cameras().copy()
+        cam = viewpoint_stack.pop(randint(0, len(viewpoint_stack) - 1))
+
+        step = trainer.step_fn(cam)
+        gt = jnp.asarray(cam.image)
+        trainer.ts, metrics = step(
+            trainer.ts, cam_arrays(cam), gt, bg, jnp.asarray(iteration)
+        )
+
+        if iteration % 10 == 0:
+            loss = float(metrics["loss"])
+            ema_loss = 0.4 * loss + 0.6 * ema_loss
+            req = int(metrics["required_instances"])
+            if req > cfg.raster.instance_capacity:
+                print(f"\n[WARN iter {iteration}] instance overflow: required "
+                      f"{req} > capacity {cfg.raster.instance_capacity}")
+            if not args.quiet and iteration % 200 == 0:
+                el = time.time() - t_start
+                print(f"iter {iteration}: loss {ema_loss:.5f} "
+                      f"alive {int(metrics['n_alive'])} "
+                      f"({iteration / max(el, 1e-9):.1f} it/s)", flush=True)
+            if tb is not None:
+                tb.add_scalar("train_loss_patches/total_loss", loss, iteration)
+                tb.add_scalar("train_loss_patches/l1_loss", float(metrics["ll1"]), iteration)
+                tb.add_scalar("total_points", int(metrics["n_alive"]), iteration)
+
+        if iteration in args.test_iterations:
+            training_report(trainer, iteration, bg, tb)
+
+        if iteration in args.save_iterations:
+            print(f"\n[ITER {iteration}] Saving Gaussians")
+            model_ply.save_ply(
+                scene.point_cloud_dir(iteration), trainer.ts.gaussians,
+                nets=nets_dict(trainer.ts),
+            )
+
+        # Densification (train.py:610-648)
+        if iteration < cfg.opt.densify_until_iter:
+            if (
+                iteration > cfg.opt.densify_from_iter
+                and iteration % cfg.opt.densification_interval == 0
+            ):
+                use_screen = iteration > cfg.opt.opacity_reset_interval
+                densify = trainer.densify_fn(use_screen)
+                trainer.ts, info = densify(
+                    trainer.ts,
+                    jnp.float32(cfg.opt.densify_grad_threshold),
+                    jnp.float32(cfg.opt.min_opacity),
+                )
+                if int(info["n_dropped"]) > 0:
+                    print(f"\n[WARN iter {iteration}] densify dropped "
+                          f"{int(info['n_dropped'])} children (capacity full)")
+                trainer.maybe_grow()
+            if iteration % cfg.opt.opacity_reset_interval == 0 or (
+                args.white_background and iteration == cfg.opt.densify_from_iter
+            ):
+                trainer.ts = trainer.reset_fn()(trainer.ts)
+
+        if iteration in args.checkpoint_iterations:
+            print(f"\n[ITER {iteration}] Saving Checkpoint")
+            path = os.path.join(model_path, "ckpt_save", f"chkpnt_{iteration}.npz")
+            ckpt_io.save_checkpoint(path, trainer.ts, iteration)
+
+    # final save
+    model_ply.save_ply(
+        scene.point_cloud_dir(cfg.opt.iterations), trainer.ts.gaussians,
+        nets=nets_dict(trainer.ts),
+    )
+    print(f"\nTraining complete in {time.time() - t_start:.1f}s")
+    return model_path
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    np.random.seed(args.seed)
+    train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""End-to-end CLI smoke: train on a tiny synthetic D-NeRF scene, then render.
+
+Exercises the full stack the way a user would: dataset on disk -> Scene reader
+-> trainer host loop (densify + opacity reset + SH schedule + saves) ->
+render CLI loading the exported PLY + nets.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from synthetic_scene import build_blender_scene  # noqa: E402
+
+
+@pytest.mark.slow
+def test_train_and_render_cli(tmp_path):
+    scene_dir = str(tmp_path / "scene")
+    model_dir = str(tmp_path / "out")
+    build_blender_scene(scene_dir, n_views=4, n_test=1, size=48, n_blobs=8)
+
+    from gs_deformable_tpu import train as train_cli
+
+    argv = [
+        "-s", scene_dir, "-m", model_dir,
+        "--iterations", "24",
+        "--random_init_points", "200",
+        "--instance_capacity", "4096",
+        "--chunk", "8",
+        "--warmup_iters", "4",
+        "--sh_degree", "1",
+        "--densify_from_iter", "6",
+        "--densification_interval", "8",
+        "--densify_until_iter", "20",
+        "--opacity_reset_interval", "1000",
+        "--test_iterations", "20",
+        "--save_iterations", "24",
+        "--eval",
+        "--quiet",
+    ]
+    train_cli.main(argv)
+
+    pc = os.path.join(model_dir, "point_cloud", "iteration_24", "point_cloud.ply")
+    assert os.path.exists(pc)
+    assert os.path.exists(os.path.join(model_dir, "cfg_args"))
+    assert os.path.exists(os.path.join(model_dir, "cameras.json"))
+    assert os.path.exists(
+        os.path.join(model_dir, "point_cloud", "iteration_24", "offset_model.npz")
+    )
+
+    from gs_deformable_tpu import render_cli
+
+    render_cli.main(["-m", model_dir, "--skip_train"])
+    renders = os.path.join(model_dir, "test", "ours_24", "renders")
+    files = os.listdir(renders)
+    assert len(files) == 1
+    from PIL import Image
+
+    img = np.asarray(Image.open(os.path.join(renders, files[0])))
+    assert img.shape[:2] == (48, 48)
+    assert np.isfinite(img).all()

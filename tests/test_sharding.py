@@ -1,0 +1,122 @@
+"""Sharded multi-chip train step vs the single-device step (8-device CPU mesh).
+
+Validates the ('data', 'model') decomposition: gaussian-sliced deformation +
+preprocess, ICI all-gather of screen records, band-sharded compositing, exact
+loss partition, psum'd gradients — results must match the single-device step.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gs_deformable_tpu.config import (
+    Config, DeformConfig, ModelConfig, RasterizeConfig,
+)
+from gs_deformable_tpu.models import gaussians as G
+from gs_deformable_tpu.parallel import sharding
+from gs_deformable_tpu.renderer import CameraArrays
+from gs_deformable_tpu import training
+from gs_deformable_tpu.ops import transforms as tf
+
+W, H = 48, 64  # grid 3 x 4 tiles; band_rows=1 with n_model=4
+
+
+def make_cfg():
+    return Config(
+        model=ModelConfig(sh_degree=1),
+        deform=DeformConfig(depth=2, width=32, warmup_iters=2, sh_coeffs=4),
+        raster=RasterizeConfig(instance_capacity=2048, chunk=8),
+    )
+
+
+def make_setup(seed=0, n=40, cap=64):
+    rng = np.random.default_rng(seed)
+    pts = np.stack(
+        [rng.uniform(-1, 1, n), rng.uniform(-0.7, 0.7, n), rng.uniform(3, 6, n)], -1
+    ).astype(np.float32)
+    cols = rng.uniform(0.2, 0.8, (n, 3)).astype(np.float32)
+    state = G.init_from_points(pts, cols, capacity=cap, sh_degree=1)
+    fov = 0.8
+    view = np.eye(4, dtype=np.float32)
+    proj = tf.projection_matrix(0.01, 100.0, fov, fov)
+    cam = CameraArrays(
+        world_view=jnp.asarray(view),
+        full_proj=jnp.asarray(view @ proj),
+        camera_center=jnp.zeros(3),
+        time=jnp.float32(0.3),
+    )
+    tan = float(np.tan(fov / 2))
+    return state, cam, tan
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_matches_single_device(rng):
+    cfg = make_cfg()
+    state, cam, tan = make_setup()
+    ts0 = training.init_train_state(state, seed=0, cfg=cfg)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
+    bg = jnp.zeros(3)
+    it = jnp.asarray(10)  # past warmup
+
+    single = training.make_train_step(
+        cfg, width=W, height=H, tan_fovx=tan, tan_fovy=tan,
+        active_sh_degree=0, spatial_lr_scale=1.0,
+    )
+    ts_s, m_s = single(ts0, cam, gt, bg, it)
+
+    mesh = sharding.make_mesh(1, 4)
+    state1, _, _ = make_setup()  # fresh buffers: ts0 was donated
+    ts1 = training.init_train_state(state1, seed=0, cfg=cfg)
+    step = sharding.make_sharded_train_step(
+        cfg, mesh, width=W, height=H, tan_fovx=tan, tan_fovy=tan,
+        active_sh_degree=0, spatial_lr_scale=1.0, capacity=64,
+    )
+    cam_b = jax.tree_util.tree_map(lambda x: x[None], cam)
+    ts_p, m_p = step(ts1, cam_b, gt[None], bg, it)
+
+    np.testing.assert_allclose(
+        float(m_p["loss"]), float(m_s["loss"]), rtol=1e-5, atol=1e-6
+    )
+    for k in ["xyz", "scaling", "opacity", "rotation", "f_dc"]:
+        a = np.asarray(getattr(ts_s.gaussians, k))
+        b = np.asarray(getattr(ts_p.gaussians, k))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5, err_msg=k)
+    # deformation-MLP params updated identically
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(ts_s.deform), jax.tree_util.tree_leaves(ts_p.deform)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=2e-4, atol=2e-5
+        )
+    # densification stats accumulated identically
+    np.testing.assert_allclose(
+        np.asarray(ts_s.gaussians.xyz_gradient_accum),
+        np.asarray(ts_p.gaussians.xyz_gradient_accum),
+        rtol=2e-4, atol=1e-7,
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_data_model_mesh_runs(rng):
+    """(2 cameras) x (2 bands) mesh executes and stays finite."""
+    cfg = make_cfg()
+    state, cam, tan = make_setup()
+    ts = training.init_train_state(state, seed=0, cfg=cfg)
+    gt = jnp.asarray(rng.uniform(0, 1, (2, 3, H, W)), jnp.float32)
+    cam2 = CameraArrays(
+        world_view=jnp.stack([cam.world_view] * 2),
+        full_proj=jnp.stack([cam.full_proj] * 2),
+        camera_center=jnp.stack([cam.camera_center] * 2),
+        time=jnp.asarray([0.1, 0.7], jnp.float32),
+    )
+    mesh = sharding.make_mesh(2, 2)
+    step = sharding.make_sharded_train_step(
+        cfg, mesh, width=W, height=H, tan_fovx=tan, tan_fovy=tan,
+        active_sh_degree=0, spatial_lr_scale=1.0, capacity=64,
+    )
+    ts2, m = step(ts, cam2, gt, jnp.zeros(3), jnp.asarray(10))
+    assert np.isfinite(float(m["loss"]))
+    for leaf in jax.tree_util.tree_leaves(ts2):
+        if hasattr(leaf, "dtype") and leaf.dtype.kind == "f":
+            assert bool(jnp.isfinite(leaf).all())
