@@ -87,6 +87,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--random_init_points", type=int,
                    default=ModelConfig().random_init_points)
+    # SIBR network viewer (train.py:85-87,131-144)
+    p.add_argument("--ip", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=6009)
+    p.add_argument("--disable_viewer", action="store_true")
     return p
 
 
@@ -272,6 +276,42 @@ def training_report(trainer: Trainer, iteration: int, bg, tb=None):
     return results
 
 
+def _serve_viewer(trainer: "Trainer", bg, iteration: int, cfg: Config,
+                  source_path: str) -> None:
+    """GUI poll loop (train.py:131-144): serve interactive renders until the
+    client releases control back to training."""
+    from . import viewer
+    from . import training as training_mod
+
+    if viewer.conn is None:
+        viewer.try_connect()
+    while viewer.conn is not None:
+        try:
+            net_image_bytes = None
+            (camera, do_training, _shs_py, _cov_py, keep_alive, scaling_mod
+             ) = viewer.receive()
+            if camera is not None:
+                cam_arr = CameraArrays(
+                    world_view=jnp.asarray(camera["world_view"]),
+                    full_proj=jnp.asarray(camera["full_proj"]),
+                    camera_center=jnp.asarray(camera["camera_center"]),
+                    time=jnp.float32(0.0),
+                )
+                fn = training_mod.make_eval_render(
+                    cfg, width=camera["width"], height=camera["height"],
+                    tan_fovx=float(np.tan(camera["fovx"] * 0.5)),
+                    tan_fovy=float(np.tan(camera["fovy"] * 0.5)),
+                    active_sh_degree=trainer.active_sh_degree,
+                )
+                img = fn(trainer.ts, cam_arr, bg, jnp.asarray(iteration))
+                net_image_bytes = viewer.image_to_bytes(np.asarray(img))
+            viewer.send(net_image_bytes, source_path)
+            if do_training and (iteration < cfg.opt.iterations or not keep_alive):
+                break
+        except Exception:
+            viewer.conn = None
+
+
 def train(args) -> str:
     cfg = config_from_args(args)
     model_path = prepare_output_dir(args)
@@ -310,9 +350,20 @@ def train(args) -> str:
     viewpoint_stack = []
     ema_loss = 0.0
     t_start = time.time()
-    opacity_reset_happened = False
+
+    viewer_on = not args.disable_viewer
+    if viewer_on:
+        try:
+            from . import viewer
+
+            viewer.init(args.ip, args.port)
+        except Exception as e:
+            print(f"viewer disabled: {e}")
+            viewer_on = False
 
     for iteration in range(first_iter + 1, cfg.opt.iterations + 1):
+        if viewer_on:
+            _serve_viewer(trainer, bg, iteration, cfg, args.source_path)
         if iteration % 1000 == 0:
             trainer.one_up_sh_degree()
 

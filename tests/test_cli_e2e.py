@@ -39,6 +39,7 @@ def test_train_and_render_cli(tmp_path):
         "--save_iterations", "24",
         "--eval",
         "--quiet",
+        "--disable_viewer",
     ]
     train_cli.main(argv)
 
