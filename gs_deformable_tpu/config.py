@@ -78,6 +78,12 @@ class RasterizeConfig:
     # Gaussians per inner chunk of the Pallas kernels; must be a multiple of
     # the 128 lane width on real TPU (interpret mode accepts any value).
     chunk: int = 128
+    # Sort strategy for the [tile|depth] keys. "exact" = two-key stable sort
+    # (bit-for-bit the CUB radix order). "packed" = single uint32 key with the
+    # tile id in the top 13 bits and the top 19 float bits of depth below —
+    # same order except for ties closer than ~0.1% relative depth (still
+    # deterministic: stable by emission order). Faster on TPU.
+    sort_mode: str = "exact"
     # Composite termination threshold (forward.cu:347).
     transmittance_eps: float = 1e-4
     # Per-splat alpha clamp (forward.cu:343-344).

@@ -54,6 +54,7 @@ def bin_gaussians(
     grid_y: int,
     capacity: int,
     chunk: int,
+    sort_mode: str = "exact",
 ) -> Binning:
     """Expand each visible gaussian into one instance per touched tile, sort by
     (tile, depth), and lay the result out chunk-aligned per tile.
@@ -70,12 +71,14 @@ def bin_gaussians(
     Kp = aligned_capacity(K, num_tiles, chunk)
 
     t = tiles_touched.astype(jnp.int32)
-    offsets = jnp.cumsum(t) - t  # exclusive prefix sum
-    required = offsets[-1] + t[-1] if P > 0 else jnp.int32(0)
+    cum = jnp.cumsum(t)  # inclusive prefix sum
+    offsets = cum - t  # exclusive
+    required = cum[-1] if P > 0 else jnp.int32(0)
 
     # Scatter gaussian index at its first instance slot; forward-fill with a
-    # cumulative max.  Offsets are strictly increasing over emitting gaussians,
-    # so slots are unique; `drop` discards emitters at/after the capacity edge.
+    # cumulative max.  (A searchsorted formulation is algorithmically cleaner
+    # but 3-4x slower on TPU: XLA lowers large searchsorted to per-step gather
+    # loops, while scatter + cummax stream linearly.)
     emit = t > 0
     slot = jnp.where(emit, offsets, K)
     seed = jnp.zeros((K,), jnp.int32).at[slot].max(
@@ -95,12 +98,31 @@ def bin_gaussians(
     tile_id = jnp.where(valid, ty * grid_x + tx, num_tiles).astype(jnp.int32)
     depth_key = jnp.where(valid, depths[safe_gid], jnp.inf).astype(jnp.float32)
 
-    tile_sorted, _, gid_sorted = jax.lax.sort(
-        (tile_id, depth_key, safe_gid.astype(jnp.int32)), num_keys=2, is_stable=True
-    )
-
-    tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    bounds = jnp.searchsorted(tile_sorted, tile_range, side="left").astype(jnp.int32)
+    if sort_mode == "packed":
+        # Single uint32 key: [tile:13 | float-depth-top-bits:19].  Positive
+        # float32 bit patterns are monotone, so truncating the mantissa keeps
+        # the order except for sub-0.1%-relative-depth ties (stable by
+        # emission order, like the CUB radix sort's tiebreak).
+        assert num_tiles < (1 << 13), "packed sort supports < 8192 tiles"
+        dbits = (depth_key.view(jnp.uint32) >> 13) & jnp.uint32(0x7FFFF)
+        key = (tile_id.astype(jnp.uint32) << 19) | dbits
+        key_sorted, gid_sorted = jax.lax.sort(
+            (key, safe_gid.astype(jnp.int32)), num_keys=1, is_stable=True
+        )
+        tile_sorted = (key_sorted >> 19).astype(jnp.int32)
+        tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        bounds = jnp.searchsorted(
+            key_sorted, (tile_range.astype(jnp.uint32) << 19), side="left"
+        ).astype(jnp.int32)
+    else:
+        tile_sorted, _, gid_sorted = jax.lax.sort(
+            (tile_id, depth_key, safe_gid.astype(jnp.int32)), num_keys=2,
+            is_stable=True,
+        )
+        tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        bounds = jnp.searchsorted(tile_sorted, tile_range, side="left").astype(
+            jnp.int32
+        )
     tile_start = bounds[:-1]
     tile_count = bounds[1:] - bounds[:-1]
     num_instances = jnp.minimum(required, K).astype(jnp.int32)

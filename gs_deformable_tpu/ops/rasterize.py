@@ -82,6 +82,7 @@ def rasterize_arrays(
         grid_y=grid_y,
         capacity=cfg.instance_capacity,
         chunk=cfg.chunk,
+        sort_mode=cfg.sort_mode,
     )
 
     P = means2d_pix.shape[0]

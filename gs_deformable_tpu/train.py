@@ -91,6 +91,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ip", default="127.0.0.1")
     p.add_argument("--port", type=int, default=6009)
     p.add_argument("--disable_viewer", action="store_true")
+    # Profiling: the reference logs iter_time via CUDA events (train.py:119-120);
+    # the TPU equivalent captures an XLA profiler trace for a step window.
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace into this directory")
+    p.add_argument("--profile_start", type=int, default=100)
+    p.add_argument("--profile_steps", type=int, default=10)
     return p
 
 
@@ -364,6 +370,13 @@ def train(args) -> str:
     for iteration in range(first_iter + 1, cfg.opt.iterations + 1):
         if viewer_on:
             _serve_viewer(trainer, bg, iteration, cfg, args.source_path)
+
+        if args.profile_dir:
+            if iteration == args.profile_start:
+                jax.profiler.start_trace(args.profile_dir)
+            elif iteration == args.profile_start + args.profile_steps:
+                jax.profiler.stop_trace()
+                print(f"\n[profile] trace written to {args.profile_dir}")
         if iteration % 1000 == 0:
             trainer.one_up_sh_degree()
 
@@ -382,8 +395,22 @@ def train(args) -> str:
             ema_loss = 0.4 * loss + 0.6 * ema_loss
             req = int(metrics["required_instances"])
             if req > cfg.raster.instance_capacity:
-                print(f"\n[WARN iter {iteration}] instance overflow: required "
-                      f"{req} > capacity {cfg.raster.instance_capacity}")
+                # The CUDA reference reallocates its instance list per frame
+                # (rasterizer_impl.cu:70-111); the TPU equivalent is a re-jit
+                # at the next power-of-two bucket.
+                new_cap = cfg.raster.instance_capacity
+                while new_cap < req:
+                    new_cap *= 2
+                print(f"\n[iter {iteration}] instance overflow (required {req} "
+                      f"> {cfg.raster.instance_capacity}); growing to {new_cap}")
+                import dataclasses as _dc
+
+                cfg = cfg.replace(
+                    raster=_dc.replace(cfg.raster, instance_capacity=new_cap)
+                )
+                trainer.cfg = cfg
+                trainer._step_cache.clear()
+                trainer._eval_cache.clear()
             if not args.quiet and iteration % 200 == 0:
                 el = time.time() - t_start
                 print(f"iter {iteration}: loss {ema_loss:.5f} "

@@ -165,3 +165,21 @@ def test_empty_scene(rng):
         np.asarray(img), np.broadcast_to(np.asarray(bg)[:, None, None], (3, H, W)),
         atol=1e-7,
     )
+
+
+def test_packed_sort_matches_exact(rng):
+    """sort_mode="packed" must reproduce the exact-mode image up to the
+    documented sub-0.1%-depth tie reordering (none in a generic scene)."""
+    pre, opac, colors, _ = make_scene(rng, n=150)
+    bg = jnp.asarray([0.2, 0.2, 0.2])
+    img_e, ft_e, _, _ = rasterize_arrays(
+        pre.means2d_pix, pre.depths, pre.conics, opac, colors,
+        pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=CFG,
+    )
+    import dataclasses
+    cfg_p = dataclasses.replace(CFG, sort_mode="packed")
+    img_p, ft_p, _, _ = rasterize_arrays(
+        pre.means2d_pix, pre.depths, pre.conics, opac, colors,
+        pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=cfg_p,
+    )
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_e), atol=1e-5)
