@@ -231,12 +231,17 @@ def densify_and_prune(
     percent_dense: float,
     use_screen_prune: bool,
     max_screen_size: float = 20.0,
+    offset_mask: jnp.ndarray = None,
 ) -> Tuple[GaussianState, Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], DensifyInfo]:
     """densify_and_prune (gaussian_model.py:1219-1233) with static shapes.
 
     ``mu``/``nu`` are the Adam moment subtrees for the six gaussian param
     groups; children slots get zeroed moments (cat_tensors_to_optimizer
     semantics, :1093-1094).
+
+    ``offset_mask`` optionally gates clone/split to gaussians whose deformation
+    offsets are large — the latent ``densify_and_prune_4offset`` capability
+    (gaussian_model.py:1154-1249, invoked from the commented train.py:651-676).
     """
     cap = state.capacity
     alive = state.alive
@@ -246,6 +251,8 @@ def densify_and_prune(
     act_scaling = jnp.exp(state.scaling)
     max_scale = act_scaling.max(axis=1)
     grad_ok = grads >= grad_threshold
+    if offset_mask is not None:
+        grad_ok = grad_ok & offset_mask
     clone_mask = grad_ok & (max_scale <= percent_dense * extent) & alive
     split_mask = grad_ok & (max_scale > percent_dense * extent) & alive
 

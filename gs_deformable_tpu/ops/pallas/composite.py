@@ -100,8 +100,8 @@ def _composite_step(a_hat, skip, t_in, done_in, eps, chunk, tril):
     om = 1.0 - a_hat
     log_om = jnp.log1p(-a_hat)  # exact 0 for skipped rows (a_hat == 0)
     csum = jnp.dot(tril, log_om, preferred_element_type=jnp.float32)  # inclusive
-    t_g = t_in * jnp.exp(csum - log_om)  # exclusive prefix product
-    test_t = t_in * jnp.exp(csum)  # == t_g * om
+    test_t = t_in * jnp.exp(csum)  # inclusive prefix product
+    t_g = test_t / om  # exclusive (om >= 1 - alpha_max = 0.01)
     row_b = jax.lax.broadcasted_iota(jnp.int32, a_hat.shape, 0)
     dmask = jnp.logical_not(skip) & (test_t < eps)
     fd = jnp.min(jnp.where(dmask, row_b.astype(jnp.float32), _BIG), axis=0, keepdims=True)

@@ -62,3 +62,31 @@ def test_train_and_render_cli(tmp_path):
     img = np.asarray(Image.open(os.path.join(renders, files[0])))
     assert img.shape[:2] == (48, 48)
     assert np.isfinite(img).all()
+
+
+@pytest.mark.slow
+def test_checkpoint_resume(tmp_path):
+    """--start_checkpoint resume (reference train.py:99-113)."""
+    scene_dir = str(tmp_path / "scene")
+    m1 = str(tmp_path / "m1")
+    build_blender_scene(scene_dir, n_views=3, n_test=1, size=32, n_blobs=6)
+
+    from gs_deformable_tpu import train as train_cli
+
+    base = [
+        "-s", scene_dir,
+        "--random_init_points", "100",
+        "--instance_capacity", "2048",
+        "--chunk", "8", "--sh_degree", "0", "--warmup_iters", "3",
+        "--densify_from_iter", "100000", "--opacity_reset_interval", "100000",
+        "--test_iterations", "-1", "--save_iterations", "-1",
+        "--quiet", "--disable_viewer",
+    ]
+    train_cli.main(base + ["-m", m1, "--iterations", "10",
+                           "--checkpoint_iterations", "8"])
+    ckpt = os.path.join(m1, "ckpt_save", "chkpnt_8.npz")
+    assert os.path.exists(ckpt)
+    m2 = str(tmp_path / "m2")
+    train_cli.main(base + ["-m", m2, "--iterations", "12",
+                           "--start_checkpoint", ckpt])
+    assert os.path.exists(os.path.join(m2, "point_cloud", "iteration_12"))

@@ -156,3 +156,26 @@ def test_stats_accumulation(rng):
     np.testing.assert_allclose(float(st2.xyz_gradient_accum[0, 0]), want0, rtol=1e-6)
     assert float(st2.denom[1, 0]) == 0.0
     assert float(st2.max_radii2d[2]) == 9.0
+
+
+def test_densify_offset_gated(rng):
+    """Latent densify_and_prune_4offset capability (gaussian_model.py:1154-1249):
+    the offset mask gates which gaussians may clone/split."""
+    st = make_state(rng, n=4, cap=16)
+    st = st.replace(scaling=jnp.full_like(st.scaling, np.log(0.001)))
+    accum = np.zeros((16, 1), np.float32)
+    accum[:4] = 1.0
+    denom = np.zeros((16, 1), np.float32)
+    denom[:4] = 1.0
+    st = st.replace(xyz_gradient_accum=jnp.asarray(accum), denom=jnp.asarray(denom))
+    mu, nu = _zero_moments(st)
+    offset_mask = jnp.asarray(
+        [True, False, False, False] + [False] * 12
+    )
+    st2, _, _, info = G.densify_and_prune(
+        st, mu, nu, jax.random.PRNGKey(0),
+        grad_threshold=0.5, min_opacity=0.005, extent=1.0,
+        percent_dense=0.01, use_screen_prune=False, offset_mask=offset_mask,
+    )
+    assert int(info.n_cloned) == 1  # only the masked gaussian densifies
+    assert int(info.n_split) == 0

@@ -183,3 +183,53 @@ def test_packed_sort_matches_exact(rng):
         pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=cfg_p,
     )
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_e), atol=1e-5)
+
+
+def test_tile32_matches_dense(rng):
+    """Non-default tile size (32x32): binning/kernels are tile-size generic;
+    the oracle uses the same tile granularity for its rect masking."""
+    import dataclasses
+    from gs_deformable_tpu.ops.rasterize_types import CompositeParams
+
+    cfg32 = dataclasses.replace(CFG, tile_x=32, tile_y=32)
+    pre, opac, colors, _ = make_scene(rng, n=150)
+    # recompute preprocess rects at 32px granularity
+    fovx, fovy = 0.9, 0.7
+    view = np.eye(4, dtype=np.float32)
+    projm = tf.projection_matrix(0.01, 100.0, fovx, fovy)
+    # reuse the scene's screen-space arrays but re-derive rect/tiles at 32px
+    # granularity via preprocess on the same inputs
+    # (simplest: re-run make_scene's preprocess with tile sizes)
+    pre32 = proj.preprocess(
+        jnp.zeros((1, 3)), jnp.zeros((1, 6)), jnp.asarray(view),
+        jnp.asarray(view @ projm), width=W, height=H,
+        tan_fovx=np.tan(fovx / 2), tan_fovy=np.tan(fovy / 2),
+        tile_x=32, tile_y=32,
+    )  # only to prove the API accepts it; real rects below
+    rng2 = np.random.default_rng(1)
+    n = 150
+    means = np.stack(
+        [rng2.uniform(-1.6, 1.6, n), rng2.uniform(-1.0, 1.0, n), rng2.uniform(2.5, 9.0, n)],
+        -1,
+    ).astype(np.float32)
+    q = rng2.normal(size=(n, 4)); q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    s = np.exp(rng2.normal(size=(n, 3)) * 0.5 - 2.4).astype(np.float32)
+    cov6 = tf.build_cov3d(jnp.asarray(s), jnp.asarray(q, jnp.float32))
+    colors = jnp.asarray(rng2.uniform(0, 1, (n, 3)), jnp.float32)
+    opac = jnp.asarray(rng2.uniform(0.2, 0.98, n), jnp.float32)
+    p = proj.preprocess(
+        jnp.asarray(means), cov6, jnp.asarray(view), jnp.asarray(view @ projm),
+        width=W, height=H, tan_fovx=np.tan(fovx / 2), tan_fovy=np.tan(fovy / 2),
+        tile_x=32, tile_y=32,
+    )
+    bg = jnp.asarray([0.1, 0.5, 0.9])
+    from gs_deformable_tpu.ops.rasterize_dense import rasterize_dense as rd
+    dense = rd(p.means2d_pix, p.depths, p.conics, opac, colors, p.rect, p.mask,
+               bg, width=W, height=H, params=CompositeParams(tile_x=32, tile_y=32))
+    img, ft, nc, req = rasterize_arrays(
+        p.means2d_pix, p.depths, p.conics, opac, colors, p.rect,
+        p.tiles_touched, bg, width=W, height=H, cfg=cfg32,
+    )
+    np.testing.assert_allclose(np.asarray(img), np.asarray(dense.color),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(nc), np.asarray(dense.n_contrib))
