@@ -49,6 +49,9 @@ class DeformConfig:
     multires_time: int = 10  # posenc octaves for t (gaussian_model.py:249)
     warmup_iters: int = 3000  # static warmup gate (gaussian_model.py:308)
     sh_coeffs: int = 16  # SH head emits 16*3 = 48 values (gaussian_model.py:277)
+    # "bfloat16" runs the MLP matmuls on the MXU in bf16 with fp32 accumulation
+    # (weights stay fp32); "float32" matches the reference bit-for-bit.
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,6 +81,9 @@ class RasterizeConfig:
     # Gaussians per inner chunk of the Pallas kernels; must be a multiple of
     # the 128 lane width on real TPU (interpret mode accepts any value).
     chunk: int = 128
+    # Tiles composited per Pallas grid step: DMA waves across the batch
+    # overlap and per-step overhead amortizes.
+    tile_batch: int = 4
     # Sort strategy for the [tile|depth] keys. "exact" = two-key stable sort
     # (bit-for-bit the CUB radix order). "packed" = single uint32 key with the
     # tile id in the top 13 bits and the top 19 float bits of depth below —

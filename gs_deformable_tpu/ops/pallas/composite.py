@@ -4,18 +4,18 @@ Forward semantics match forward.cu:261-374; backward matches backward.cu:401-560
 (see ops/rasterize_dense.py for the list of matched numerical details).  The
 re-design for TPU:
 
-- One grid step per 16x16 tile; the tile's depth-sorted instances stream from
-  HBM in chunk-sized, *lane-aligned* DMA slices (the analog of the CUDA
-  collective shared-memory fetch at forward.cu:313-322).  The splat array is
-  field-major (16, Kp) and every tile's range starts on a chunk boundary
-  (ops/binning.py lays it out that way), so the DMA offset is provably a
-  multiple of the 128 lane width.
+- One grid step processes a *batch* of `tile_batch` tiles: their per-chunk DMA
+  waves issue together (latencies overlap) and the grid shrinks by the batch
+  factor, amortizing per-step pipeline overhead.  Each tile still streams its
+  own depth-sorted instance chunks from HBM in lane-aligned DMA slices (the
+  analog of the CUDA collective shared-memory fetch at forward.cu:313-322):
+  the splat array is field-major (16, Kp) and every tile's range starts on a
+  chunk boundary (ops/binning.py lays it out that way).
 - The per-pixel sequential front-to-back loop becomes *vectorized* compositing:
   transmittance is an exclusive cumulative product along the chunk axis,
   computed in log space as one triangular matmul on the MXU; the reference's
   first-hit "done" test (forward.cu:346-351) is resolved with a min-reduction
-  for the first terminating instance index — all 256 pixels ride the lane
-  dimension.
+  for the first terminating instance index — pixels ride the lane dimension.
 - No atomics exist on TPU: the backward writes per-*instance* gradient rows to
   its tile's exclusive aligned slice of the instance list, and the
   per-gaussian reduction happens outside as the transpose of the XLA gather
@@ -50,7 +50,7 @@ def _tril(n: int) -> jnp.ndarray:
 
 
 def _pixel_coords(tile_idx, grid_x: int, tile_x: int, tile_y: int):
-    """Float pixel coordinates of this tile's pixels, shape (1, tile_x*tile_y)."""
+    """Float pixel coordinates of one tile's pixels, shape (1, tile_x*tile_y)."""
     npix = tile_x * tile_y
     tile_col = tile_idx % grid_x
     tile_row = tile_idx // grid_x
@@ -60,18 +60,17 @@ def _pixel_coords(tile_idx, grid_x: int, tile_x: int, tile_y: int):
     return px, py
 
 
-def _chunk_geometry(buf, px, py, chunk_base, count, alpha_max, alpha_min, chunk):
-    """Shared forward/backward per-chunk splat evaluation.
+def _chunk_geometry(rows, px, py, chunk_base, count, alpha_max, alpha_min, chunk):
+    """Shared forward/backward per-chunk splat evaluation for one tile.
 
-    ``buf`` is the (chunk, 16) row-major view of the chunk's splats.
-    Returns alpha_hat (clamped alpha, skipped rows zeroed) and friends.
+    ``rows`` is the (chunk, 16) row-major view of the chunk's splats.
     """
-    xg = buf[:, 0:1]
-    yg = buf[:, 1:2]
-    ca = buf[:, 2:3]
-    cb = buf[:, 3:4]
-    cc = buf[:, 4:5]
-    op = buf[:, 5:6]
+    xg = rows[:, 0:1]
+    yg = rows[:, 1:2]
+    ca = rows[:, 2:3]
+    cb = rows[:, 3:4]
+    cc = rows[:, 4:5]
+    op = rows[:, 5:6]
 
     dx = xg - px  # (chunk, npix)
     dy = yg - py
@@ -86,16 +85,13 @@ def _chunk_geometry(buf, px, py, chunk_base, count, alpha_max, alpha_min, chunk)
     return a_hat, skip, g_exp, dx, dy, row
 
 
-def _composite_step(a_hat, skip, t_in, done_in, eps, chunk, tril):
+def _composite_step(a_hat, skip, t_in, done_in, eps, tril):
     """First-hit termination + transmittance bookkeeping for one chunk.
 
     The transmittance recurrence T *= (1 - alpha) runs in log space: the
     cumulative sum of log1p(-alpha) along the chunk is one triangular matmul
-    on the MXU (vs ~14 VPU passes for a Hillis-Steele cumprod), and the
-    exclusive product is exp(incl - own).  fp32 log/exp round-trip error is
-    ~1e-7 relative — far inside the compositing tolerances.
-
-    Returns (contrib mask, t_g per-row transmittance, t_out, done_out).
+    on the MXU, and the exclusive product divides out the own factor.  fp32
+    log/exp round-trip error is ~1e-7 relative — far inside tolerances.
     """
     om = 1.0 - a_hat
     log_om = jnp.log1p(-a_hat)  # exact 0 for skipped rows (a_hat == 0)
@@ -113,6 +109,17 @@ def _composite_step(a_hat, skip, t_in, done_in, eps, chunk, tril):
     return contrib, t_g, t_out, done_out
 
 
+def _group_meta(start_ref, count_ref, g, tb: int, num_tiles: int):
+    """Per-group tile metadata: chunk starts/counts/chunk-counts as (tb,)."""
+    starts, counts = [], []
+    for j in range(tb):
+        tidx = jnp.minimum(g * tb + j, num_tiles - 1)
+        in_grid = (g * tb + j) < num_tiles
+        starts.append(start_ref[tidx])
+        counts.append(jnp.where(in_grid, count_ref[tidx], 0))
+    return starts, counts
+
+
 def _forward_kernel(
     start_ref,
     count_ref,
@@ -125,75 +132,113 @@ def _forward_kernel(
     tile_x: int,
     tile_y: int,
     chunk: int,
+    tb: int,
+    num_tiles: int,
     alpha_max: float,
     alpha_min: float,
     eps: float,
 ):
     npix = tile_x * tile_y
-    t = pl.program_id(0)
-    start_chunk = start_ref[t]
-    count = count_ref[t]
-    px, py = _pixel_coords(t, grid_x, tile_x, tile_y)
-    nchunks = pl.cdiv(count, chunk)
+    g = pl.program_id(0)
+    starts, counts = _group_meta(start_ref, count_ref, g, tb, num_tiles)
+    coords = [
+        _pixel_coords(jnp.minimum(g * tb + j, num_tiles - 1), grid_x, tile_x, tile_y)
+        for j in range(tb)
+    ]
+    nchunks_t = [pl.cdiv(counts[j], chunk) for j in range(tb)]
+    nchunks = nchunks_t[0]
+    for j in range(1, tb):
+        nchunks = jnp.maximum(nchunks, nchunks_t[j])
     tril = _tril(chunk)
 
-    def dma(slot, i):
+    def dma(slot, j, i):
         return pltpu.make_async_copy(
-            splats_hbm.at[:, pl.ds((start_chunk + i) * chunk, chunk)],
-            buf.at[slot],
-            sem.at[slot],
+            splats_hbm.at[:, pl.ds((starts[j] + i) * chunk, chunk)],
+            buf.at[slot, :, j],
+            sem.at[slot, j],
         )
+
+    def issue(slot, i):
+        for j in range(tb):
+            @pl.when(i < nchunks_t[j])
+            def _():
+                dma(slot, j, i).start()
+
+    def wait(slot, i):
+        for j in range(tb):
+            @pl.when(i < nchunks_t[j])
+            def _():
+                dma(slot, j, i).wait()
 
     @pl.when(nchunks > 0)
     def _():
-        dma(0, 0).start()
+        issue(0, 0)
+
+    def alldone(done):
+        m = jnp.min(done[0])
+        for j in range(1, tb):
+            m = jnp.minimum(m, jnp.min(done[j]))
+        return m
 
     def cond(carry):
         i, _, done, *_ = carry
-        return (i < nchunks) & (jnp.min(done) < 0.5)
+        return (i < nchunks) & (alldone(done) < 0.5)
 
     def body(carry):
         i, t_acc, done, c0, c1, c2, nc = carry
 
-        # Prefetch the next chunk while this one computes (double buffering).
         @pl.when(i + 1 < nchunks)
         def _():
-            dma((i + 1) % 2, i + 1).start()
+            issue((i + 1) % 2, i + 1)
 
-        dma(i % 2, i).wait()
-        rows = jnp.transpose(buf[i % 2])  # (chunk, 16)
+        wait(i % 2, i)
         base = i * chunk
-        a_hat, skip, _, _, _, row = _chunk_geometry(
-            rows, px, py, base, count, alpha_max, alpha_min, chunk
+        t_acc, done, c0, c1, c2, nc = (
+            list(t_acc), list(done), list(c0), list(c1), list(c2), list(nc)
         )
-        contrib, t_g, t_acc, done = _composite_step(a_hat, skip, t_acc, done, eps, chunk, tril)
-        w = jnp.where(contrib, a_hat * t_g, 0.0)
-        c0 = c0 + jnp.sum(w * rows[:, 6:7], axis=0, keepdims=True)
-        c1 = c1 + jnp.sum(w * rows[:, 7:8], axis=0, keepdims=True)
-        c2 = c2 + jnp.sum(w * rows[:, 8:9], axis=0, keepdims=True)
-        gidx = (base + row + 1).astype(jnp.float32)  # 1-based instance counter
-        nc = jnp.maximum(
-            nc, jnp.max(jnp.where(contrib, gidx, 0.0), axis=0, keepdims=True)
-        )
-        return (i + 1, t_acc, done, c0, c1, c2, nc)
+        for j in range(tb):
+            rows = jnp.transpose(buf[i % 2, :, j])  # (chunk, 16)
+            px, py = coords[j]
+            a_hat, skip, _, _, _, row = _chunk_geometry(
+                rows, px, py, base, counts[j], alpha_max, alpha_min, chunk
+            )
+            contrib, t_g, t_acc[j], done[j] = _composite_step(
+                a_hat, skip, t_acc[j], done[j], eps, tril
+            )
+            # where() selections (not mask multiplies): chunks a tile never
+            # DMA'd hold stale buffer bits, and 0 * NaN would poison the sums.
+            w = a_hat * t_g
+            c0[j] = c0[j] + jnp.sum(
+                jnp.where(contrib, w * rows[:, 6:7], 0.0), axis=0, keepdims=True)
+            c1[j] = c1[j] + jnp.sum(
+                jnp.where(contrib, w * rows[:, 7:8], 0.0), axis=0, keepdims=True)
+            c2[j] = c2[j] + jnp.sum(
+                jnp.where(contrib, w * rows[:, 8:9], 0.0), axis=0, keepdims=True)
+            gidx = (base + row + 1).astype(jnp.float32)
+            nc[j] = jnp.maximum(
+                nc[j], jnp.max(jnp.where(contrib, gidx, 0.0), axis=0, keepdims=True)
+            )
+        return (i + 1, tuple(t_acc), tuple(done), tuple(c0), tuple(c1),
+                tuple(c2), tuple(nc))
 
-    ones = jnp.ones((1, npix), jnp.float32)
-    zeros = jnp.zeros((1, npix), jnp.float32)
+    ones = tuple(jnp.ones((1, npix), jnp.float32) for _ in range(tb))
+    zeros = tuple(jnp.zeros((1, npix), jnp.float32) for _ in range(tb))
     init = (jnp.int32(0), ones, zeros, zeros, zeros, zeros, zeros)
     ie, t_fin, _, c0, c1, c2, nc = jax.lax.while_loop(cond, body, init)
 
-    # Early exit leaves one prefetched chunk in flight; drain it so the DMA
-    # semaphore is clean at kernel end.
+    # Early exit leaves one prefetched chunk wave in flight; drain it so the
+    # DMA semaphores are clean at kernel end.
     @pl.when(ie < nchunks)
     def _():
-        dma(ie % 2, ie).wait()
+        wait(ie % 2, ie)
 
-    out_ref[0, 0:1, :] = c0
-    out_ref[0, 1:2, :] = c1
-    out_ref[0, 2:3, :] = c2
-    out_ref[0, 3:4, :] = t_fin
-    out_ref[0, 4:5, :] = nc
-    out_ref[0, 5:8, :] = jnp.zeros((3, npix), jnp.float32)
+    for j in range(tb):
+        out_ref[j, 0:1, :] = c0[j]
+        out_ref[j, 1:2, :] = c1[j]
+        out_ref[j, 2:3, :] = c2[j]
+        out_ref[j, 3:4, :] = t_fin[j]
+        out_ref[j, 4:5, :] = nc[j]
+        out_ref[j, 5:8, :] = jnp.zeros((3, npix), jnp.float32)
 
 
 def _backward_kernel(
@@ -212,110 +257,147 @@ def _backward_kernel(
     tile_x: int,
     tile_y: int,
     chunk: int,
+    tb: int,
+    num_tiles: int,
     alpha_max: float,
     alpha_min: float,
     eps: float,
 ):
     npix = tile_x * tile_y
-    t = pl.program_id(0)
-    start_chunk = start_ref[t]
-    count = count_ref[t]
-    px, py = _pixel_coords(t, grid_x, tile_x, tile_y)
-    nchunks = pl.cdiv(count, chunk)
-
-    total0 = fwd_ref[0, 0:1, :]
-    total1 = fwd_ref[0, 1:2, :]
-    total2 = fwd_ref[0, 2:3, :]
-    t_final = fwd_ref[0, 3:4, :]
-    gc0 = g_ref[0, 0:1, :]
-    gc1 = g_ref[0, 1:2, :]
-    gc2 = g_ref[0, 2:3, :]
-    gt = g_ref[0, 3:4, :]
-
+    g = pl.program_id(0)
+    starts, counts = _group_meta(start_ref, count_ref, g, tb, num_tiles)
+    coords = [
+        _pixel_coords(jnp.minimum(g * tb + j, num_tiles - 1), grid_x, tile_x, tile_y)
+        for j in range(tb)
+    ]
+    nchunks_t = [pl.cdiv(counts[j], chunk) for j in range(tb)]
+    nchunks = nchunks_t[0]
+    for j in range(1, tb):
+        nchunks = jnp.maximum(nchunks, nchunks_t[j])
     tril = _tril(chunk)
 
-    def dma(slot, i):
+    def dma(slot, j, i):
         return pltpu.make_async_copy(
-            splats_hbm.at[:, pl.ds((start_chunk + i) * chunk, chunk)],
-            buf.at[slot],
-            sem.at[slot],
+            splats_hbm.at[:, pl.ds((starts[j] + i) * chunk, chunk)],
+            buf.at[slot, :, j],
+            sem.at[slot, j],
         )
+
+    def issue(slot, i):
+        for j in range(tb):
+            @pl.when(i < nchunks_t[j])
+            def _():
+                dma(slot, j, i).start()
+
+    def wait(slot, i):
+        for j in range(tb):
+            @pl.when(i < nchunks_t[j])
+            def _():
+                dma(slot, j, i).wait()
 
     @pl.when(nchunks > 0)
     def _():
-        dma(0, 0).start()
+        issue(0, 0)
 
     def body(i, carry):
-        t_acc, done, p0, p1, p2 = carry
+        t_acc, done, p0, p1, p2 = (list(c) for c in carry)
 
         @pl.when(i + 1 < nchunks)
         def _():
-            dma((i + 1) % 2, i + 1).start()
+            issue((i + 1) % 2, i + 1)
 
-        dma(i % 2, i).wait()
-        rows = jnp.transpose(buf[i % 2])  # (chunk, 16)
+        wait(i % 2, i)
         base = i * chunk
-        a_hat, skip, g_exp, dx, dy, _ = _chunk_geometry(
-            rows, px, py, base, count, alpha_max, alpha_min, chunk
-        )
-        contrib, t_g, t_out, done_out = _composite_step(
-            a_hat, skip, t_acc, done, eps, chunk, tril
-        )
-        cf = contrib.astype(jnp.float32)
-        w = cf * a_hat * t_g  # alpha * T for contributing rows
-        col0 = rows[:, 6:7]
-        col1 = rows[:, 7:8]
-        col2 = rows[:, 8:9]
+        for j in range(tb):
+            rows = jnp.transpose(buf[i % 2, :, j])  # (chunk, 16)
+            px, py = coords[j]
+            total0 = fwd_ref[j, 0:1, :]
+            total1 = fwd_ref[j, 1:2, :]
+            total2 = fwd_ref[j, 2:3, :]
+            t_final = fwd_ref[j, 3:4, :]
+            gc0 = g_ref[j, 0:1, :]
+            gc1 = g_ref[j, 1:2, :]
+            gc2 = g_ref[j, 2:3, :]
+            gt = g_ref[j, 3:4, :]
 
-        # Inclusive prefix sums of c*alpha*T along the chunk (MXU matmul), plus
-        # the carry from earlier chunks.
-        pc0 = p0 + jnp.dot(tril, w * col0, preferred_element_type=jnp.float32)
-        pc1 = p1 + jnp.dot(tril, w * col1, preferred_element_type=jnp.float32)
-        pc2 = p2 + jnp.dot(tril, w * col2, preferred_element_type=jnp.float32)
+            a_hat, skip, g_exp, dx, dy, _ = _chunk_geometry(
+                rows, px, py, base, counts[j], alpha_max, alpha_min, chunk
+            )
+            contrib, t_g, t_acc[j], done[j] = _composite_step(
+                a_hat, skip, t_acc[j], done[j], eps, tril
+            )
+            col0 = rows[:, 6:7]
+            col1 = rows[:, 7:8]
+            col2 = rows[:, 8:9]
+            wat = a_hat * t_g  # alpha * T
+            # where() selections guard stale-buffer NaN (see forward kernel)
+            wc0 = jnp.where(contrib, wat * col0, 0.0)
+            wc1 = jnp.where(contrib, wat * col1, 0.0)
+            wc2 = jnp.where(contrib, wat * col2, 0.0)
 
-        om = 1.0 - a_hat
-        inv_om = 1.0 / om
-        # dL/dalpha_g (backward.cu:515-534): front-to-back form with
-        # S_g = total - P_g(inclusive).
-        dalpha = (
-            gc0 * (col0 * t_g - (total0 - pc0) * inv_om)
-            + gc1 * (col1 * t_g - (total1 - pc1) * inv_om)
-            + gc2 * (col2 * t_g - (total2 - pc2) * inv_om)
-            + gt * (-t_final * inv_om)
-        )
-        dalpha = cf * dalpha
-        op = rows[:, 5:6]
-        g_safe = jnp.where(skip, 0.0, g_exp)
-        dl_dg = op * dalpha
-        d_op = jnp.sum(g_safe * dalpha, axis=1, keepdims=True)
-        ca = rows[:, 2:3]
-        cb = rows[:, 3:4]
-        gg = dl_dg * g_safe
-        d_x = jnp.sum(gg * (-(ca * dx + cb * dy)), axis=1, keepdims=True)
-        cc = rows[:, 4:5]
-        d_y = jnp.sum(gg * (-(cc * dy + cb * dx)), axis=1, keepdims=True)
-        d_ca = jnp.sum(gg * (-0.5 * dx * dx), axis=1, keepdims=True)
-        d_cb = jnp.sum(gg * (-dx * dy), axis=1, keepdims=True)
-        d_cc = jnp.sum(gg * (-0.5 * dy * dy), axis=1, keepdims=True)
-        d_c0 = jnp.sum(w * gc0, axis=1, keepdims=True)
-        d_c1 = jnp.sum(w * gc1, axis=1, keepdims=True)
-        d_c2 = jnp.sum(w * gc2, axis=1, keepdims=True)
+            pc0 = p0[j] + jnp.dot(tril, wc0, preferred_element_type=jnp.float32)
+            pc1 = p1[j] + jnp.dot(tril, wc1, preferred_element_type=jnp.float32)
+            pc2 = p2[j] + jnp.dot(tril, wc2, preferred_element_type=jnp.float32)
 
-        grads = jnp.concatenate(
-            [d_x, d_y, d_ca, d_cb, d_cc, d_op, d_c0, d_c1, d_c2,
-             jnp.zeros((chunk, SPLAT_WIDTH - 9), jnp.float32)],
-            axis=1,
-        )  # (chunk, 16)
-        gbuf[:] = jnp.transpose(grads)  # (16, chunk)
-        wcp = pltpu.make_async_copy(
-            gbuf, dsplat_hbm.at[:, pl.ds((start_chunk + i) * chunk, chunk)], gsem
-        )
-        wcp.start()
-        wcp.wait()
-        return (t_out, done_out, pc0[chunk - 1 :, :], pc1[chunk - 1 :, :], pc2[chunk - 1 :, :])
+            om = 1.0 - a_hat
+            inv_om = 1.0 / om
+            # dL/dalpha_g (backward.cu:515-534): front-to-back form with
+            # S_g = total - P_g(inclusive).  where() (not a cf multiply) keeps
+            # any stale-buffer NaN out of the masked rows.
+            dalpha = (
+                gc0 * (col0 * t_g - (total0 - pc0) * inv_om)
+                + gc1 * (col1 * t_g - (total1 - pc1) * inv_om)
+                + gc2 * (col2 * t_g - (total2 - pc2) * inv_om)
+                + gt * (-t_final * inv_om)
+            )
+            dalpha = jnp.where(contrib, dalpha, 0.0)
+            op = rows[:, 5:6]
+            g_safe = jnp.where(skip, 0.0, g_exp)
+            gg = op * dalpha * g_safe
+            ca = rows[:, 2:3]
+            cb = rows[:, 3:4]
+            cc = rows[:, 4:5]
 
-    ones = jnp.ones((1, npix), jnp.float32)
-    zeros = jnp.zeros((1, npix), jnp.float32)
+            def msum(x):
+                return jnp.sum(jnp.where(contrib, x, 0.0), axis=1, keepdims=True)
+
+            d_x = msum(gg * (-(ca * dx + cb * dy)))
+            d_y = msum(gg * (-(cc * dy + cb * dx)))
+            d_ca = msum(gg * (-0.5 * dx * dx))
+            d_cb = msum(gg * (-dx * dy))
+            d_cc = msum(gg * (-0.5 * dy * dy))
+            d_op = msum(g_safe * dalpha)
+            # dL/dcolor = alpha * T * gC (backward.cu:521-527) — no color factor
+            wmask = jnp.where(contrib, wat, 0.0)
+            d_c0 = jnp.sum(wmask * gc0, axis=1, keepdims=True)
+            d_c1 = jnp.sum(wmask * gc1, axis=1, keepdims=True)
+            d_c2 = jnp.sum(wmask * gc2, axis=1, keepdims=True)
+
+            grads = jnp.concatenate(
+                [d_x, d_y, d_ca, d_cb, d_cc, d_op, d_c0, d_c1, d_c2,
+                 jnp.zeros((chunk, SPLAT_WIDTH - 9), jnp.float32)],
+                axis=1,
+            )  # (chunk, 16)
+            gbuf[:, j] = jnp.transpose(grads)  # (16, chunk)
+            # carry only the chunk-total prefix into the next chunk
+            p0[j] = pc0[chunk - 1 :, :]
+            p1[j] = pc1[chunk - 1 :, :]
+            p2[j] = pc2[chunk - 1 :, :]
+
+        for j in range(tb):
+            @pl.when(i < nchunks_t[j])
+            def _():
+                wcp = pltpu.make_async_copy(
+                    gbuf.at[:, j],
+                    dsplat_hbm.at[:, pl.ds((starts[j] + i) * chunk, chunk)],
+                    gsem.at[j],
+                )
+                wcp.start()
+                wcp.wait()
+        return (tuple(t_acc), tuple(done), tuple(p0), tuple(p1), tuple(p2))
+
+    ones = tuple(jnp.ones((1, npix), jnp.float32) for _ in range(tb))
+    zeros = tuple(jnp.zeros((1, npix), jnp.float32) for _ in range(tb))
     jax.lax.fori_loop(0, nchunks, body, (ones, zeros, zeros, zeros, zeros))
 
 
@@ -328,6 +410,7 @@ def make_tile_composite(
     tile_y: int,
     chunk: int,
     padded_capacity: int,
+    tile_batch: int = 4,
     alpha_max: float = 0.99,
     alpha_min: float = 1.0 / 255.0,
     eps: float = 1e-4,
@@ -336,9 +419,13 @@ def make_tile_composite(
     """Build the differentiable tile-compositing op for a static geometry.
 
     Returns comp(splats_T (16, Kp), tile_chunk_start (T,), tile_count (T,)) ->
-    (T, 8, npix) with rows [r, g, b, final_T, n_contrib, 0, 0, 0].
+    (T_pad, 8, npix) with rows [r, g, b, final_T, n_contrib, 0, 0, 0], where
+    T_pad rounds the tile count up to the batch size (callers slice [:T]).
     """
     num_tiles = grid_x * grid_y
+    tb = max(1, min(tile_batch, num_tiles))
+    groups = (num_tiles + tb - 1) // tb
+    t_pad = groups * tb
     npix = tile_x * tile_y
     Kp = padded_capacity
     assert Kp % chunk == 0
@@ -347,6 +434,8 @@ def make_tile_composite(
         tile_x=tile_x,
         tile_y=tile_y,
         chunk=chunk,
+        tb=tb,
+        num_tiles=num_tiles,
         alpha_max=alpha_max,
         alpha_min=alpha_min,
         eps=eps,
@@ -356,17 +445,17 @@ def make_tile_composite(
         functools.partial(_forward_kernel, **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(num_tiles,),
+            grid=(groups,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=pl.BlockSpec(
-                (1, 8, npix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                (tb, 8, npix), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, SPLAT_WIDTH, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, SPLAT_WIDTH, tb, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, tb)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, npix), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, 8, npix), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -377,22 +466,22 @@ def make_tile_composite(
         functools.partial(_backward_kernel, **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(num_tiles,),
+            grid=(groups,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),  # splats (16, Kp)
                 pl.BlockSpec(
-                    (1, 8, npix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                    (tb, 8, npix), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM
                 ),  # forward outputs
                 pl.BlockSpec(
-                    (1, 8, npix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                    (tb, 8, npix), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM
                 ),  # upstream grads
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
             scratch_shapes=[
-                pltpu.VMEM((2, SPLAT_WIDTH, chunk), jnp.float32),
-                pltpu.VMEM((SPLAT_WIDTH, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, SPLAT_WIDTH, tb, chunk), jnp.float32),
+                pltpu.VMEM((SPLAT_WIDTH, tb, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, tb)),
+                pltpu.SemaphoreType.DMA((tb,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((SPLAT_WIDTH, Kp), jnp.float32),

@@ -109,12 +109,15 @@ def rasterize_arrays(
         padded_capacity=aligned_capacity(
             cfg.instance_capacity, grid_x * grid_y, cfg.chunk
         ),
+        tile_batch=cfg.tile_batch,
         alpha_max=cfg.alpha_max,
         alpha_min=cfg.alpha_min,
         eps=cfg.transmittance_eps,
         interpret=interpret,
     )
-    out_tiles = comp(sorted_splats_t, binning.tile_chunk_start, binning.tile_count)
+    out_tiles = comp(
+        sorted_splats_t, binning.tile_chunk_start, binning.tile_count
+    )[: grid_x * grid_y]
 
     def assemble(rows):
         # (T, r, npix) -> (r, H, W)

@@ -95,6 +95,7 @@ def make_sharded_train_step(
         tile_y=r.tile_y,
         chunk=r.chunk,
         padded_capacity=aligned_capacity(r.instance_capacity, grid_x * band_rows, r.chunk),
+        tile_batch=r.tile_batch,
         alpha_max=r.alpha_max,
         alpha_min=r.alpha_min,
         eps=r.transmittance_eps,
@@ -211,7 +212,9 @@ def make_sharded_train_step(
             axis=1,
         )
         sorted_splats_t = splats[binning.gid].T
-        out_tiles = comp(sorted_splats_t, binning.tile_chunk_start, binning.tile_count)
+        out_tiles = comp(
+            sorted_splats_t, binning.tile_chunk_start, binning.tile_count
+        )[: grid_x * band_rows]
 
         # Re-assemble the full image: tiled gather of band outputs.
         out_full = jax.lax.all_gather(out_tiles, "model", axis=0, tiled=True)

@@ -49,6 +49,9 @@ def deformed_attributes(
     attributes plus the raw offsets (for the offset-norm loss, train.py:329-332)."""
     xyz = state.xyz
     n = xyz.shape[0]
+    compute_dtype = (
+        jnp.bfloat16 if cfg.deform.compute_dtype == "bfloat16" else None
+    )
     mode = cfg.model.deform_mode
     if mode == "offset":
         assert cfg.deform.sh_coeffs == (cfg.model.sh_degree + 1) ** 2, (
@@ -57,7 +60,8 @@ def deformed_attributes(
             f"{(cfg.model.sh_degree + 1) ** 2})"
         )
         dx, d_scale, d_rot, d_shs = deform_mod.deform_offsets(
-            deform_params, xyz, time, iteration, cfg.deform
+            deform_params, xyz, time, iteration, cfg.deform,
+            compute_dtype=compute_dtype,
         )
         means3d = xyz + dx
         scales = jnp.exp(state.scaling + d_scale)
@@ -68,7 +72,8 @@ def deformed_attributes(
         shs = state.get_features() + d_shs.reshape(n, cfg.deform.sh_coeffs, 3)
     elif mode == "se3":
         means3d = deform_mod.deform_se3(
-            deform_params, xyz, time, iteration, cfg.deform
+            deform_params, xyz, time, iteration, cfg.deform,
+            compute_dtype=compute_dtype,
         )
         dx = means3d - xyz
         scales = jnp.exp(state.scaling)

@@ -91,3 +91,15 @@ def test_opacity_mask_gate(rng):
     gate = deform.opacity_mask_gate(heads, xyz, 0.2, jnp.asarray(9000), cfg)
     a = np.asarray(gate)
     assert ((a > 0) & (a < 1)).all()
+
+
+def test_bfloat16_compute_close_to_fp32(rng):
+    cfg = DeformConfig(depth=4, width=64)
+    params = deform.init_offset_net(jax.random.PRNGKey(0), cfg)
+    xyz = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+    a = deform.deform_offsets(params, xyz, 0.4, jnp.asarray(5000), cfg)
+    b = deform.deform_offsets(params, xyz, 0.4, jnp.asarray(5000), cfg,
+                              compute_dtype=jnp.bfloat16)
+    for x, y in zip(a, b):
+        scale = float(jnp.abs(x).max()) + 1e-6
+        assert float(jnp.abs(x - y).max()) < 0.05 * scale

@@ -233,3 +233,27 @@ def test_tile32_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(img), np.asarray(dense.color),
                                rtol=1e-4, atol=2e-5)
     np.testing.assert_array_equal(np.asarray(nc), np.asarray(dense.n_contrib))
+
+
+def test_gradients_match_finite_differences(rng):
+    """Finite-difference check of the custom_vjp core (SURVEY.md section 4
+    item 3): directional derivative through the tiled rasterizer."""
+    pre, opac, colors, _ = make_scene(rng, n=60)
+    bg = jnp.zeros(3)
+    wimg = jnp.asarray(rng.normal(size=(3, H, W)), jnp.float32)
+
+    def loss(op, col):
+        img, _, _, _ = rasterize_arrays(
+            pre.means2d_pix, pre.depths, pre.conics, op, col,
+            pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=CFG,
+        )
+        return jnp.sum(img * wimg)
+
+    g_op, g_col = jax.grad(loss, argnums=(0, 1))(opac, colors)
+    d_op = jnp.asarray(rng.normal(size=opac.shape), jnp.float32) * 0.01
+    d_col = jnp.asarray(rng.normal(size=colors.shape), jnp.float32) * 0.01
+    eps = 1e-3
+    num = (loss(opac + eps * d_op, colors + eps * d_col)
+           - loss(opac - eps * d_op, colors - eps * d_col)) / (2 * eps)
+    ana = jnp.sum(g_op * d_op) + jnp.sum(g_col * d_col)
+    np.testing.assert_allclose(float(num), float(ana), rtol=2e-2)
