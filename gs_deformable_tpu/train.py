@@ -73,7 +73,8 @@ def build_argparser() -> argparse.ArgumentParser:
         p.add_argument(f"--{name}", type=type(default), default=default)
     # TPU capacity / kernel knobs
     p.add_argument("--capacity", type=int, default=0, help="0 = auto (2x init points)")
-    p.add_argument("--instance_capacity", type=int, default=RasterizeConfig().instance_capacity)
+    # Start snug and auto-grow on overflow (sort/binning cost scales with this).
+    p.add_argument("--instance_capacity", type=int, default=1 << 19)
     p.add_argument("--chunk", type=int, default=RasterizeConfig().chunk)
     p.add_argument("--warmup_iters", type=int, default=DeformConfig().warmup_iters)
     # schedule / io

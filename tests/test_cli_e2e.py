@@ -90,3 +90,25 @@ def test_checkpoint_resume(tmp_path):
     train_cli.main(base + ["-m", m2, "--iterations", "12",
                            "--start_checkpoint", ckpt])
     assert os.path.exists(os.path.join(m2, "point_cloud", "iteration_12"))
+
+
+@pytest.mark.slow
+def test_se3_mode_trains(tmp_path):
+    """--deform_mode se3: SE(3) exp-map deformation end to end (BASELINE config 3)."""
+    scene_dir = str(tmp_path / "scene")
+    out = str(tmp_path / "se3")
+    build_blender_scene(scene_dir, n_views=3, n_test=1, size=32, n_blobs=6)
+
+    from gs_deformable_tpu import train as train_cli
+
+    train_cli.main([
+        "-s", scene_dir, "-m", out, "--iterations", "12",
+        "--deform_mode", "se3",
+        "--random_init_points", "100", "--instance_capacity", "2048",
+        "--chunk", "8", "--sh_degree", "0", "--warmup_iters", "3",
+        "--densify_from_iter", "100000", "--opacity_reset_interval", "100000",
+        "--test_iterations", "-1", "--save_iterations", "12",
+        "--quiet", "--disable_viewer",
+    ])
+    assert os.path.exists(os.path.join(out, "point_cloud", "iteration_12",
+                                       "point_cloud.ply"))
