@@ -98,7 +98,11 @@ def rasterize_arrays(
     )
     # Field-major sorted layout; the transpose of this gather is the sorted
     # per-gaussian segment-sum of the backward's per-instance gradient rows.
-    sorted_splats_t = splats[binning.gid].T
+    # Barriers keep the gather and the relayout as standalone ops (XLA's
+    # fusion of them into surrounding producers measured ~10x slower).
+    splats = jax.lax.optimization_barrier(splats)
+    sorted_splats = jax.lax.optimization_barrier(splats[binning.gid])
+    sorted_splats_t = jax.lax.optimization_barrier(sorted_splats.T)
 
     comp = make_tile_composite(
         grid_x=grid_x,

@@ -358,6 +358,27 @@ def train(args) -> str:
     ema_loss = 0.0
     t_start = time.time()
 
+    # One-camera-ahead input pipeline: upload the next ground-truth image
+    # asynchronously while the current step runs (the reference moves images
+    # to the GPU at load time, cameras.py:40; here uploads overlap compute).
+    def pick_camera():
+        nonlocal_stack = viewpoint_stack
+        if not nonlocal_stack:
+            nonlocal_stack.extend(trainer.scene.get_train_cameras().copy())
+        return nonlocal_stack.pop(randint(0, len(nonlocal_stack) - 1))
+
+    pending = None  # (camera, device_gt)
+
+    def next_camera():
+        nonlocal pending
+        if pending is None:
+            cam = pick_camera()
+            pending = (cam, jax.device_put(jnp.asarray(cam.image)))
+        cam, gt = pending
+        nxt = pick_camera()
+        pending = (nxt, jax.device_put(jnp.asarray(nxt.image)))
+        return cam, gt
+
     viewer_on = not args.disable_viewer
     if viewer_on:
         try:
@@ -381,12 +402,8 @@ def train(args) -> str:
         if iteration % 1000 == 0:
             trainer.one_up_sh_degree()
 
-        if not viewpoint_stack:
-            viewpoint_stack = trainer.scene.get_train_cameras().copy()
-        cam = viewpoint_stack.pop(randint(0, len(viewpoint_stack) - 1))
-
+        cam, gt = next_camera()
         step = trainer.step_fn(cam)
-        gt = jnp.asarray(cam.image)
         trainer.ts, metrics = step(
             trainer.ts, cam_arrays(cam), gt, bg, jnp.asarray(iteration)
         )
