@@ -11,7 +11,7 @@ typed, immutable config tree so jitted functions can close over static values.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

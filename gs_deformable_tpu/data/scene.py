@@ -11,7 +11,7 @@ import json
 import os
 import random
 import shutil
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from .cameras import Camera, camera_to_json, load_camera
 from .readers import SceneInfo, detect_scene_type, scene_load_callbacks

@@ -26,7 +26,7 @@ provides oracle gradients for the Pallas ``custom_vjp`` kernels.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -25,8 +25,7 @@ gradients on every device), so parameters never travel.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import Config
 from ..models import deform as deform_mod
-from ..models.gaussians import GaussianState, PARAM_GROUPS, adam_step
+from ..models.gaussians import adam_step
 from ..ops import sh as sh_ops
 from ..ops.binning import aligned_capacity, bin_gaussians
 from ..ops.pallas.composite import SPLAT_WIDTH, make_tile_composite
@@ -44,7 +43,6 @@ from ..ops.transforms import build_cov3d
 from ..renderer import CameraArrays
 from ..training import TrainState, learning_rates
 from ..utils.general import psnr
-from ..utils.losses import ssim
 
 
 def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
@@ -211,7 +209,8 @@ def make_sharded_train_step(
             ],
             axis=1,
         )
-        sorted_splats_t = splats[binning.gid].T
+        splats = jax.lax.optimization_barrier(splats)
+        sorted_splats_t = jax.lax.optimization_barrier(splats[binning.gid]).T
         out_tiles = comp(
             sorted_splats_t, binning.tile_chunk_start, binning.tile_count
         )[: grid_x * band_rows]

@@ -23,7 +23,7 @@ from .data.cameras import Camera
 from .data.scene import Scene
 from .io import model_ply
 from .models import deform as deform_mod
-from .train import cam_arrays, nets_dict
+from .train import cam_arrays
 from .utils.general import psnr as psnr_fn
 
 

@@ -19,13 +19,11 @@ via tensorboardX when available.
 from __future__ import annotations
 
 import argparse
-import json
 import os
-import sys
 import time
 import uuid
 from random import randint
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

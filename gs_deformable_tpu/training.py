@@ -17,7 +17,6 @@ slots; averaging garbage offsets of free capacity slots would poison the MLP).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
