@@ -84,6 +84,9 @@ class RasterizeConfig:
     # Tiles composited per Pallas grid step: DMA waves across the batch
     # overlap and per-step overhead amortizes.
     tile_batch: int = 4
+    # Opacity-aware instance culling (see ops/projection.py): image- and
+    # gradient-exact, changes only debug counters; False = reference radii.
+    opacity_aware_radius: bool = True
     # Sort strategy for the [tile|depth] keys. "exact" = two-key stable sort
     # (bit-for-bit the CUB radix order). "packed" = single uint32 key with the
     # tile id in the top 13 bits and the top 19 float bits of depth below —

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 NEAR_Z = 0.2
@@ -117,11 +118,20 @@ def preprocess(
     tile_x: int = 16,
     tile_y: int = 16,
     alive: jnp.ndarray | None = None,
+    opacities: jnp.ndarray | None = None,
 ) -> PreprocessOut:
     """Project all gaussians to screen space and bin-count tiles.
 
     ``alive`` optionally masks out dead capacity slots (TPU fixed-capacity
     model state) — they behave exactly like frustum-culled gaussians.
+
+    ``opacities`` (activated, (P,)) enables opacity-aware radius culling: the
+    reference bins every tile inside the fixed 3-sigma box (forward.cu:232),
+    but pixels beyond sqrt(2*ln(255*op))*sigma can never pass the alpha >=
+    1/255 compositing threshold (forward.cu:344), so instances dropped by the
+    tighter radius contribute exactly nothing to the image or its gradients —
+    only the debug n_contrib counter and the radii of near-transparent
+    gaussians change.  Pass None for bit-faithful reference radii.
     """
     P = means3d.shape[0]
     focal_x = width / (2.0 * tan_fovx)
@@ -151,7 +161,21 @@ def preprocess(
     mid = 0.5 * (c00 + c11)
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lam2 = mid - jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, lam2)))
+    if opacities is not None:
+        op = opacities[:, 0] if opacities.ndim == 2 else opacities
+        # stop_gradient: the radius is bookkeeping (like the reference's int
+        # radii); without it, ceil's zero cotangent through sqrt(0) would NaN
+        # the opacity gradients for op <= 1/255.
+        op = jax.lax.stop_gradient(op)
+        # +0.02 slack inside the contour: pixels on the exact alpha = 1/255
+        # knife edge can round across it in fp32 compositing.
+        nsigma = jnp.sqrt(jnp.maximum(2.0 * jnp.log(255.0 * op) + 0.02, 0.0))
+        nsigma = jnp.minimum(nsigma, 3.0)
+    else:
+        nsigma = 3.0
+    sqrt_lam = jnp.sqrt(jnp.maximum(lam1, lam2))
+    radius_f = jnp.ceil(nsigma * sqrt_lam)
+    exact_upper_bound = opacities is not None
 
     pix = jnp.stack([ndc2pix(ndc[:, 0], width), ndc2pix(ndc[:, 1], height)], axis=-1)
 
@@ -159,12 +183,31 @@ def preprocess(
     # C truncation there for every case that survives the clamps.
     x0 = jnp.clip(jnp.floor((pix[:, 0] - radius_f) / tile_x), 0, grid_x).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((pix[:, 1] - radius_f) / tile_y), 0, grid_y).astype(jnp.int32)
-    x1 = jnp.clip(
-        jnp.floor((pix[:, 0] + radius_f + tile_x - 1) / tile_x), 0, grid_x
-    ).astype(jnp.int32)
-    y1 = jnp.clip(
-        jnp.floor((pix[:, 1] + radius_f + tile_y - 1) / tile_y), 0, grid_y
-    ).astype(jnp.int32)
+    if exact_upper_bound:
+        # floor((p + r)/TILE) + 1 is the correct exclusive tile bound for a
+        # FLOAT center (the reference's (p + r + TILE-1)/TILE, auxiliary.h:53,
+        # assumes an integer numerator and can under-cover a fractional center
+        # by one pixel).  Intersect with the reference 3-sigma rect so the
+        # coverage — including that reference quirk — matches bit for bit
+        # while sub-threshold tiles are still dropped.
+        r3 = jnp.ceil(3.0 * sqrt_lam)
+        x1 = jnp.minimum(
+            jnp.floor((pix[:, 0] + radius_f) / tile_x) + 1,
+            jnp.floor((pix[:, 0] + r3 + tile_x - 1) / tile_x),
+        )
+        y1 = jnp.minimum(
+            jnp.floor((pix[:, 1] + radius_f) / tile_y) + 1,
+            jnp.floor((pix[:, 1] + r3 + tile_y - 1) / tile_y),
+        )
+        x1 = jnp.clip(x1, 0, grid_x).astype(jnp.int32)
+        y1 = jnp.clip(y1, 0, grid_y).astype(jnp.int32)
+    else:
+        x1 = jnp.clip(
+            jnp.floor((pix[:, 0] + radius_f + tile_x - 1) / tile_x), 0, grid_x
+        ).astype(jnp.int32)
+        y1 = jnp.clip(
+            jnp.floor((pix[:, 1] + radius_f + tile_y - 1) / tile_y), 0, grid_y
+        ).astype(jnp.int32)
     ntiles = (x1 - x0) * (y1 - y0)
 
     mask = in_front & det_ok & (ntiles > 0)

@@ -189,6 +189,7 @@ def render_gaussians(
         tile_x=cfg.tile_x,
         tile_y=cfg.tile_y,
         alive=alive,
+        opacities=opacities if cfg.opacity_aware_radius else None,
     )
     ndc = pre.means2d_ndc
     if means2d_offset_ndc is not None:

@@ -163,6 +163,7 @@ def make_sharded_train_step(
             means3d, cov3d, cam.world_view, cam.full_proj,
             width=width, height=height, tan_fovx=tan_fovx, tan_fovy=tan_fovy,
             tile_x=r.tile_x, tile_y=r.tile_y, alive=alive,
+            opacities=opacity[:, 0] if r.opacity_aware_radius else None,
         )
         colors = sh_ops.eval_sh_color(
             active_sh_degree, shs, means3d, cam.camera_center

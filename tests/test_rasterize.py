@@ -257,3 +257,51 @@ def test_gradients_match_finite_differences(rng):
            - loss(opac - eps * d_op, colors - eps * d_col)) / (2 * eps)
     ana = jnp.sum(g_op * d_op) + jnp.sum(g_col * d_col)
     np.testing.assert_allclose(float(num), float(ana), rtol=2e-2)
+
+
+def test_opacity_aware_culling_image_exact(rng):
+    """Opacity-aware radii drop only alpha<1/255 instances: image and
+    gradients identical to the 3-sigma reference radii, fewer instances."""
+    import dataclasses
+    fovx, fovy = 0.9, 0.7
+    view = np.eye(4, dtype=np.float32)
+    projm = tf.projection_matrix(0.01, 100.0, fovx, fovy)
+    rng2 = np.random.default_rng(5)
+    n = 150
+    means = np.stack(
+        [rng2.uniform(-1.6, 1.6, n), rng2.uniform(-1.0, 1.0, n), rng2.uniform(2.5, 9.0, n)],
+        -1,
+    ).astype(np.float32)
+    q = rng2.normal(size=(n, 4)); q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    s = np.exp(rng2.normal(size=(n, 3)) * 0.5 - 2.4).astype(np.float32)
+    cov6 = tf.build_cov3d(jnp.asarray(s), jnp.asarray(q, jnp.float32))
+    colors = jnp.asarray(rng2.uniform(0, 1, (n, 3)), jnp.float32)
+    # include plenty of low-opacity gaussians to exercise the shrink
+    opac = jnp.asarray(rng2.uniform(0.005, 0.6, n), jnp.float32)
+    bg = jnp.asarray([0.4, 0.2, 0.1])
+    wimg = jnp.asarray(rng2.normal(size=(3, H, W)), jnp.float32)
+
+    results = {}
+    for aware in [False, True]:
+        pre = proj.preprocess(
+            jnp.asarray(means), cov6, jnp.asarray(view), jnp.asarray(view @ projm),
+            width=W, height=H, tan_fovx=np.tan(fovx / 2), tan_fovy=np.tan(fovy / 2),
+            opacities=opac if aware else None,
+        )
+
+        def loss(op, col):
+            img, ft, nc, req = rasterize_arrays(
+                pre.means2d_pix, pre.depths, pre.conics, op, col,
+                pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=CFG,
+            )
+            return jnp.sum(img * wimg), (img, req)
+
+        (lv, (img, req)), grads = jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)(opac, colors)
+        results[aware] = (np.asarray(img), int(req), [np.asarray(g) for g in grads])
+
+    img_e, req_e, g_e = results[False]
+    img_a, req_a, g_a = results[True]
+    assert req_a < req_e  # instances actually dropped
+    np.testing.assert_allclose(img_a, img_e, rtol=1e-5, atol=1e-6)
+    for a, b in zip(g_a, g_e):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
