@@ -112,3 +112,27 @@ def test_se3_mode_trains(tmp_path):
     ])
     assert os.path.exists(os.path.join(out, "point_cloud", "iteration_12",
                                        "point_cloud.ply"))
+
+
+@pytest.mark.slow
+def test_colmap_scene_trains(tmp_path):
+    """Full training loop on a COLMAP-layout monocular video scene
+    (BASELINE config 4: densify + TPU k-NN init + Adam on COLMAP data)."""
+    from test_readers import build_colmap_scene
+
+    root = build_colmap_scene(str(tmp_path / "colmap"), n_frames=4, size=32)
+    out = str(tmp_path / "m")
+
+    from gs_deformable_tpu import train as train_cli
+
+    train_cli.main([
+        "-s", root, "-m", out, "--iterations", "14",
+        "--random_init_points", "120", "--instance_capacity", "2048",
+        "--chunk", "8", "--sh_degree", "0", "--warmup_iters", "3",
+        "--densify_from_iter", "6", "--densification_interval", "6",
+        "--densify_until_iter", "12", "--opacity_reset_interval", "100000",
+        "--test_iterations", "-1", "--save_iterations", "14",
+        "--quiet", "--disable_viewer",
+    ])
+    assert os.path.exists(os.path.join(out, "point_cloud", "iteration_14",
+                                       "point_cloud.ply"))
