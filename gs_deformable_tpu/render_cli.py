@@ -25,6 +25,7 @@ from .io import model_ply
 from .models import deform as deform_mod
 from .train import cam_arrays
 from .utils.general import psnr as psnr_fn
+from .utils.losses import ssim as ssim_fn
 
 
 def search_max_iteration(folder: str) -> int:
@@ -62,6 +63,7 @@ def render_set(model_path, name, iteration, cams: List[Camera], ts, cfg,
     os.makedirs(render_path, exist_ok=True)
     os.makedirs(gts_path, exist_ok=True)
     psnrs = []
+    ssims = []
     eval_cache = {}
     for idx, cam in enumerate(cams):
         key = (cam.width, cam.height, round(cam.fovx, 6))
@@ -84,6 +86,7 @@ def render_set(model_path, name, iteration, cams: List[Camera], ts, cfg,
             psnrs.append(
                 float(psnr_fn(jnp.asarray(img)[None], jnp.asarray(gt)[None]).mean())
             )
+            ssims.append(float(ssim_fn(jnp.asarray(img), jnp.asarray(gt))))
         if save_ply_frames and state is not None:
             # per-timestep deformed dump (save_ply_t, gaussian_model.py:932-958)
             dx, *_ = deform_mod.deform_offsets(
@@ -96,7 +99,8 @@ def render_set(model_path, name, iteration, cams: List[Camera], ts, cfg,
                 filename=f"points_{idx:05d}.ply",
             )
     if psnrs:
-        print(f"[{name}] PSNR: {np.mean(psnrs):.3f} over {len(psnrs)} views")
+        print(f"[{name}] PSNR: {np.mean(psnrs):.3f} SSIM: {np.mean(ssims):.4f} "
+              f"over {len(psnrs)} views")
     return psnrs
 
 
