@@ -48,6 +48,23 @@ def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
     return ((v + 1.0) * size - 1.0) * 0.5
 
 
+def mark_visible(
+    means3d: jnp.ndarray, viewmatrix: jnp.ndarray, projmatrix: jnp.ndarray
+) -> jnp.ndarray:
+    """Standalone frustum-visibility test, (P,3) -> (P,) bool.
+
+    The TPU analog of the rasterizer's third public entry point
+    (``markVisible``, rasterize_points.cu:198-216 / ext.cpp:17): the same
+    near-plane test the preprocess cull applies (auxiliary.h:139-164 checks
+    view z > 0.2 only; the NDC bound checks there are dead ``false &&`` code,
+    so visibility reduces to the near test).  ``projmatrix`` is accepted for
+    signature parity and unused, as in the reference.
+    """
+    del projmatrix
+    p_view_z = means3d @ viewmatrix[:3, 2] + viewmatrix[3, 2]
+    return p_view_z > NEAR_Z
+
+
 def compute_cov2d(
     means3d: jnp.ndarray,
     cov3d: jnp.ndarray,

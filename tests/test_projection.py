@@ -116,3 +116,20 @@ def test_preprocess_culls():
         width=W, height=H, tan_fovx=tan, tan_fovy=tan, alive=alive,
     )
     assert not bool(out2.mask[3])
+
+
+def test_mark_visible():
+    """Standalone visibility = the preprocess near cull (rasterize_points.cu:198)."""
+    view = np.eye(4, dtype=np.float32)
+    projm = tf.projection_matrix(0.01, 100.0, 0.8, 0.8)
+    full = view @ projm
+    means = jnp.asarray(
+        [[0, 0, 0.1], [0, 0, -3.0], [100.0, 0, 5.0], [0, 0, 5.0], [0, 0, 0.2]],
+        jnp.float32,
+    )
+    vis = proj.mark_visible(means, jnp.asarray(view), jnp.asarray(full))
+    # Near-plane test only: the far-outside-frustum point IS "visible" here,
+    # exactly as in the reference (NDC checks are dead code, auxiliary.h:154).
+    np.testing.assert_array_equal(
+        np.asarray(vis), [False, False, True, True, False]
+    )
