@@ -254,8 +254,14 @@ def nets_dict(ts: training.TrainState) -> dict:
     }
 
 
-def training_report(trainer: Trainer, iteration: int, bg, tb=None):
-    """Eval PSNR/L1 over test and a train subset (train.py:722-757)."""
+def training_report(trainer: Trainer, iteration: int, bg, tb=None,
+                    first_test_iter: bool = False):
+    """Eval PSNR/L1 over test and a train subset (train.py:722-757).
+
+    Mirrors the reference's TensorBoard payload: per-set scalars, the first
+    five renders of each set as images (ground truth once, at the first test
+    iteration), an opacity histogram, and total_points.
+    """
     results = {}
     for name, cams in [
         ("test", trainer.scene.get_test_cameras()),
@@ -264,12 +270,18 @@ def training_report(trainer: Trainer, iteration: int, bg, tb=None):
         if not cams:
             continue
         l1s, psnrs = [], []
-        for cam in cams[:20]:
+        for idx, cam in enumerate(cams[:20]):
             img = trainer.eval_fn(cam)(
                 trainer.ts, cam_arrays(cam), bg, jnp.asarray(iteration)
             )
             img = jnp.clip(img, 0.0, 1.0)
             gt = jnp.clip(jnp.asarray(cam.image), 0.0, 1.0)
+            if tb is not None and idx < 5:
+                tb.add_images(f"{name}_view_{cam.image_name}/render",
+                              np.asarray(img)[None], global_step=iteration)
+                if first_test_iter:
+                    tb.add_images(f"{name}_view_{cam.image_name}/ground_truth",
+                                  np.asarray(gt)[None], global_step=iteration)
             l1s.append(float(jnp.abs(img - gt).mean()))
             psnrs.append(float(psnr_fn(img[None], gt[None]).mean()))
         results[name] = (float(np.mean(l1s)), float(np.mean(psnrs)))
@@ -278,6 +290,13 @@ def training_report(trainer: Trainer, iteration: int, bg, tb=None):
         if tb is not None:
             tb.add_scalar(f"{name}/loss_viewpoint - l1_loss", results[name][0], iteration)
             tb.add_scalar(f"{name}/loss_viewpoint - psnr", results[name][1], iteration)
+    if tb is not None:
+        gs = trainer.ts.gaussians
+        alive = np.asarray(gs.alive)
+        op = np.asarray(jax.nn.sigmoid(gs.opacity))[alive]
+        if op.size:
+            tb.add_histogram("scene/opacity_histogram", op, iteration)
+        tb.add_scalar("total_points", int(alive.sum()), iteration)
     return results
 
 
@@ -436,9 +455,17 @@ def train(args) -> str:
                 tb.add_scalar("train_loss_patches/total_loss", loss, iteration)
                 tb.add_scalar("train_loss_patches/l1_loss", float(metrics["ll1"]), iteration)
                 tb.add_scalar("total_points", int(metrics["n_alive"]), iteration)
+                tb.add_scalar(
+                    "iter_time",
+                    (time.time() - t_start) / max(iteration, 1) * 1e3,
+                    iteration,
+                )
 
         if iteration in args.test_iterations:
-            training_report(trainer, iteration, bg, tb)
+            training_report(
+                trainer, iteration, bg, tb,
+                first_test_iter=(iteration == min(args.test_iterations)),
+            )
 
         if iteration in args.save_iterations:
             print(f"\n[ITER {iteration}] Saving Gaussians")
