@@ -134,6 +134,22 @@ def render(
     means3d, scales, rotations, opacity, shs, dx = deformed_attributes(
         state, deform_params, camera.time, iteration, cfg, latent_heads
     )
+    # Pipeline switches (PipelineParams, arguments/__init__.py:64-69): the
+    # reference moves SH->RGB / cov3D out of the CUDA kernel into torch
+    # (gaussian_renderer/__init__.py:111-135).  Here both paths are the same
+    # JAX formulas, so the switches exercise the rasterizer's precomp inputs.
+    colors_precomp = None
+    cov3d_precomp = None
+    if cfg.pipeline.convert_shs_python:
+        from .ops import sh as sh_ops
+
+        colors_precomp = sh_ops.eval_sh_color(
+            active_sh_degree, shs, means3d, camera.camera_center
+        )
+    if cfg.pipeline.compute_cov3d_python:
+        from .ops.transforms import build_cov3d
+
+        cov3d_precomp = build_cov3d(scales, rotations, scale_modifier)
     out = render_gaussians(
         means3d,
         scales,
@@ -152,6 +168,8 @@ def render(
         scale_modifier=scale_modifier,
         alive=state.alive,
         means2d_offset_ndc=means2d_offset_ndc,
+        colors_precomp=colors_precomp,
+        cov3d_precomp=cov3d_precomp,
         cfg=cfg.raster,
         interpret=interpret,
     )

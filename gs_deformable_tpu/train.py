@@ -35,6 +35,7 @@ from .config import (
     DeformConfig,
     ModelConfig,
     OptimizationConfig,
+    PipelineConfig,
     RasterizeConfig,
 )
 from .data.cameras import Camera
@@ -58,6 +59,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--eval", action="store_true")
     p.add_argument("--deform_mode", choices=["offset", "se3", "none"], default="offset")
     p.add_argument("--use_opacity_mask", action="store_true")
+    # PipelineParams (arguments/__init__.py:64-69); --detect_anomaly
+    # (train.py:768) maps to jax_debug_nans — the analog of torch's
+    # autograd anomaly mode (fail at the op that produced the NaN).
+    p.add_argument("--convert_SHs_python", action="store_true")
+    p.add_argument("--compute_cov3D_python", action="store_true")
+    p.add_argument("--detect_anomaly", action="store_true")
     # OptimizationParams (arguments/__init__.py:71-89)
     o = OptimizationConfig()
     for name in (
@@ -115,6 +122,10 @@ def config_from_args(args) -> Config:
             random_init_points=args.random_init_points,
         ),
         deform=DeformConfig(warmup_iters=args.warmup_iters, sh_coeffs=K),
+        pipeline=PipelineConfig(
+            convert_shs_python=args.convert_SHs_python,
+            compute_cov3d_python=args.compute_cov3D_python,
+        ),
         raster=RasterizeConfig(
             instance_capacity=args.instance_capacity, chunk=args.chunk
         ),
@@ -512,6 +523,14 @@ def train(args) -> str:
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+    # safe_state seeding (general_utils.py:112-133): the stdlib random module
+    # drives camera shuffling and the per-iteration camera pop, so it must be
+    # seeded for run-to-run reproducibility.
+    import random as _random
+
+    _random.seed(args.seed)
     np.random.seed(args.seed)
     train(args)
 
