@@ -112,7 +112,15 @@ def main(argv=None):
     p.add_argument("--skip_test", action="store_true")
     p.add_argument("--save_ply", action="store_true")
     p.add_argument("--source_path", "-s", default=None)
+    p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
+
+    # safe_state (general_utils.py:112-133; render.py:67-70): CLI runs get
+    # timestamped output + seeded RNGs; in-process callers are untouched.
+    if argv is None:
+        from .utils.general import safe_state
+
+        safe_state(args.quiet)
 
     saved = load_cfg_args(args.model_path)
     source = args.source_path or saved.get("source_path")

@@ -525,13 +525,20 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     if args.detect_anomaly:
         jax.config.update("jax_debug_nans", True)
-    # safe_state seeding (general_utils.py:112-133): the stdlib random module
-    # drives camera shuffling and the per-iteration camera pop, so it must be
-    # seeded for run-to-run reproducibility.
-    import random as _random
+    # safe_state (general_utils.py:112-133): seed the stdlib random module
+    # (camera shuffling + per-iteration pop) and numpy for run-to-run
+    # reproducibility.  The stdout timestamp wrapper is only installed for
+    # real command-line runs; in-process callers (tests, notebooks) keep
+    # their stdout untouched.
+    if argv is None:
+        from .utils.general import safe_state
 
-    _random.seed(args.seed)
-    np.random.seed(args.seed)
+        safe_state(args.quiet, seed=args.seed)
+    else:
+        import random as _random
+
+        _random.seed(args.seed)
+        np.random.seed(args.seed)
     train(args)
 
 

@@ -51,3 +51,35 @@ def psnr(img1, img2):
     """(image_utils.py:17-19)."""
     m = mse(img1, img2)
     return 20 * jnp.log10(1.0 / jnp.sqrt(m))
+
+
+def safe_state(silent: bool = False, seed: int = 0) -> None:
+    """Console timestamping + global seeding (general_utils.py:112-133).
+
+    Wraps stdout so every completed line gets a "[dd/mm HH:MM:SS]" suffix
+    (and is suppressed entirely when silent), and seeds the stdlib and numpy
+    RNGs that drive camera shuffling/popping.  The reference also pins the
+    CUDA device here; device selection on TPU belongs to JAX/the tunnel.
+    """
+    import random
+    import sys
+    from datetime import datetime
+
+    old_f = sys.stdout
+
+    class _F:
+        def write(self, x):
+            if silent:
+                return
+            if x.endswith("\n"):
+                stamp = datetime.now().strftime("%d/%m %H:%M:%S")
+                old_f.write(x.replace("\n", f" [{stamp}]\n"))
+            else:
+                old_f.write(x)
+
+        def flush(self):
+            old_f.flush()
+
+    sys.stdout = _F()
+    random.seed(seed)
+    np.random.seed(seed)
