@@ -3,11 +3,19 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Primary metric: pixels/s/chip rendering a 1080p frame of a synthetic 100k-
-gaussian deformable scene (SH degree 3, deformation MLP active).  The baseline
+Primary metric: pixels/s/chip rendering a 1080p frame of a synthetic
+deformable scene (SH degree 3, deformation MLP active).  The baseline
 reference point is the upstream 3DGS citation of >= 30 fps at 1080p
 (submodules/diff-gaussian-rasterization/README.md:3), i.e. 62.2 Mpix/s;
 vs_baseline = value / 62.2e6.  Extras report train iters/s at 800x800.
+
+Scene-scale note: on a direct TPU backend the scene is 100k gaussians with a
+1M-instance sort.  Through the axon remote-compile tunnel the AOT helper caps
+serialized executables at 2 GiB and the XLA TPU sort's compiled code grows
+with the instance count past that cap at 1M instances, so the scene is scaled
+down until the executable fits; the `gaussians` / `required_instances` fields
+record the scale actually measured.  Each scale is attempted largest-first and
+the first one that compiles is reported.
 """
 
 import json
@@ -17,23 +25,19 @@ import time
 import numpy as np
 
 
-def main():
+def run_at_scale(n, cap, instance_capacity):
     import jax
     import jax.numpy as jnp
 
-    from gs_deformable_tpu.config import (
-        Config, DeformConfig, ModelConfig, RasterizeConfig,
-    )
+    from gs_deformable_tpu.config import Config, RasterizeConfig
     from gs_deformable_tpu.models import gaussians as G
     from gs_deformable_tpu.ops import transforms as tf
     from gs_deformable_tpu.renderer import CameraArrays, render
     from gs_deformable_tpu import training
 
     rng = np.random.default_rng(0)
-    n = 100_000
-    cap = 131_072
     cfg = Config(
-        raster=RasterizeConfig(instance_capacity=1 << 20, chunk=128),
+        raster=RasterizeConfig(instance_capacity=instance_capacity, chunk=128),
     )
 
     pts = np.stack(
@@ -44,10 +48,9 @@ def main():
     state = G.init_from_points(pts, cols, capacity=cap, sh_degree=3)
     # Realistic trained-scene splat sizes (~few pixels): the raw knn scales of
     # a uniform random cloud give pathological 600-px splats.
-    import jax.numpy as _jnp
     scal = np.log(0.01 * rng.uniform(0.5, 2.0, (n, 3))).astype(np.float32)
     state = state.replace(
-        scaling=_jnp.asarray(np.pad(scal, ((0, cap - n), (0, 0))))
+        scaling=jnp.asarray(np.pad(scal, ((0, cap - n), (0, 0))))
     )
     ts = training.init_train_state(state, seed=0, cfg=cfg)
 
@@ -93,44 +96,93 @@ def main():
     np.asarray(img.ravel()[:1])  # tiny fetch: defeat any tunnel laziness
     pix_per_s = W * H / dt
 
-    # ---- train iters/s at 800x800 ------------------------------------
-    Wt = Ht = 800
-    cam_t, tx, ty = camera(Wt, Ht)
-    step = training.make_train_step(
-        cfg, width=Wt, height=Ht, tan_fovx=tx, tan_fovy=ty,
-        active_sh_degree=3, spatial_lr_scale=1.0,
-    )
-    gt = jnp.asarray(rng.uniform(0, 1, (3, Ht, Wt)), jnp.float32)
-    ts_local = ts
-    t0 = time.time()
-    ts_local, m = step(ts_local, cam_t, gt, jnp.zeros(3), jnp.asarray(5000))
-    jax.block_until_ready(m["loss"])
-    float(m["loss"])
-    train_compile_s = time.time() - t0
-    iters_t = 10
-    t0 = time.time()
-    for i in range(iters_t):
-        ts_local, m = step(ts_local, cam_t, gt, jnp.zeros(3), jnp.asarray(5001 + i))
-    jax.block_until_ready(m["loss"])
-    train_dt = (time.time() - t0) / iters_t
-    float(m["loss"])
-
     result = {
         "metric": "render_pixels_per_s_per_chip_1080p",
         "value": round(pix_per_s, 1),
         "unit": "pixels/s",
         "vs_baseline": round(pix_per_s / 62.2e6, 4),
         "render_ms_1080p": round(dt * 1e3, 2),
-        "train_iters_per_s_800px": round(1.0 / train_dt, 3),
-        "train_ms_800px": round(train_dt * 1e3, 2),
         "gaussians": n,
         "required_instances": int(req),
-        "loss_finite": bool(jnp.isfinite(m["loss"])),
         "compile_s_render": round(compile_s, 1),
-        "compile_s_train": round(train_compile_s, 1),
         "backend": jax.default_backend(),
     }
-    print(json.dumps(result))
+
+    # ---- train iters/s at 800x800 ------------------------------------
+    # Secondary metric; reported when its (larger fwd+bwd+Adam) executable
+    # also compiles in this environment.
+    try:
+        Wt = Ht = 800
+        cam_t, tx, ty = camera(Wt, Ht)
+        step = training.make_train_step(
+            cfg, width=Wt, height=Ht, tan_fovx=tx, tan_fovy=ty,
+            active_sh_degree=3, spatial_lr_scale=1.0,
+        )
+        gt = jnp.asarray(rng.uniform(0, 1, (3, Ht, Wt)), jnp.float32)
+        ts_local = ts
+        t0 = time.time()
+        ts_local, m = step(ts_local, cam_t, gt, jnp.zeros(3), jnp.asarray(5000))
+        jax.block_until_ready(m["loss"])
+        float(m["loss"])
+        train_compile_s = time.time() - t0
+        iters_t = 10
+        t0 = time.time()
+        for i in range(iters_t):
+            ts_local, m = step(
+                ts_local, cam_t, gt, jnp.zeros(3), jnp.asarray(5001 + i)
+            )
+        jax.block_until_ready(m["loss"])
+        train_dt = (time.time() - t0) / iters_t
+        float(m["loss"])
+        result.update(
+            train_iters_per_s_800px=round(1.0 / train_dt, 3),
+            train_ms_800px=round(train_dt * 1e3, 2),
+            loss_finite=bool(jnp.isfinite(m["loss"])),
+            compile_s_train=round(train_compile_s, 1),
+        )
+    except Exception as e:  # pragma: no cover - environment-dependent
+        result["train_error"] = f"{type(e).__name__}: {str(e)[:160]}"
+    return result
+
+
+def main():
+    import jax
+
+    # (gaussians, param capacity, instance capacity): largest-first; the
+    # remote-compile AOT path (backend "axon") cannot serialize the 1M-
+    # instance sort's executable, so start it at a scale that fits.
+    scales = [
+        (100_000, 131_072, 1 << 20),
+        (40_000, 65_536, 384 * 1024),
+        (20_000, 32_768, 192 * 1024),
+    ]
+    if jax.default_backend() == "axon":
+        scales = scales[1:]
+
+    last_err = None
+    for n, cap, icap in scales:
+        try:
+            result = run_at_scale(n, cap, icap)
+            print(json.dumps(result))
+            return
+        except Exception as e:
+            last_err = e
+            print(
+                f"[bench] scale n={n} failed ({type(e).__name__}: "
+                f"{str(e)[:160]}); trying smaller",
+                file=sys.stderr,
+            )
+    print(
+        json.dumps(
+            {
+                "metric": "render_pixels_per_s_per_chip_1080p",
+                "value": 0.0,
+                "unit": "pixels/s",
+                "vs_baseline": 0.0,
+                "error": f"{type(last_err).__name__}: {str(last_err)[:200]}",
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
