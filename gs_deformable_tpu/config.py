@@ -87,6 +87,14 @@ class RasterizeConfig:
     # Opacity-aware instance culling (see ops/projection.py): image- and
     # gradient-exact, changes only debug counters; False = reference radii.
     opacity_aware_radius: bool = True
+    # Composite kernel schedule. "batch" = tile-batched kernel (manual DMA
+    # waves per tile, ops/pallas/composite.py). "stream" = flat chunk-stream
+    # kernel (auto-pipelined contiguous DMA, persistent per-tile VMEM state,
+    # ops/pallas/stream_composite.py) — same math, faster when tiles average
+    # few chunks (the 1080p regime).
+    composite_mode: str = "stream"
+    # Chunk slots per grid step of the stream kernel.
+    stream_chunks: int = 8
     # Sort strategy for the [tile|depth] keys. "exact" = two-key stable sort
     # (bit-for-bit the CUB radix order). "packed" = single uint32 key with the
     # tile id in the top 13 bits and the top 19 float bits of depth below —

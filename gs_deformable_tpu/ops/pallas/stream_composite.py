@@ -1,0 +1,487 @@
+"""Streaming tile-compositing kernels: flat chunk-stream re-design.
+
+Same math as ops/pallas/composite.py (renderCUDA semantics, forward.cu:261-374
+and backward.cu:401-560) but a different schedule.  The batched kernel walks
+tiles and issues one manual DMA wave per (tile, chunk); at ~1 chunk per tile
+(typical at 1080p) the per-grid-step fixed cost dominates.  Here the grid
+walks the chunk-aligned instance stream itself:
+
+- The binning layout (ops/binning.py) is *tile-major*: tile t owns chunk slots
+  [chunk_start[t], chunk_start[t] + ceil(count[t]/chunk)).  So a linear sweep
+  over chunk slots visits each tile's chunks contiguously and in depth order.
+- The splat stream is fed by Pallas' automatic block pipeline — one contiguous
+  (16, S*chunk) block per grid step, double-buffered by the runtime.  No
+  per-tile DMA waves, no dynamic-trip-count while loops.
+- Per-tile composite state (accumulated color, transmittance, done flags,
+  n_contrib) lives in VMEM scratch that persists across grid steps; it is
+  reset when a chunk opens a new tile (in-tile base == 0) and flushed to the
+  per-tile output row by a double-buffered DMA when the tile's last chunk
+  retires.
+- Chunk -> tile ownership is delivered as scalar-prefetch arrays computed
+  once per frame in XLA from the binning (owner / in-tile base / tile count
+  per chunk slot).
+- The backward additionally needs each tile's forward totals and upstream
+  pixel gradients; those stream through a 4-slot DMA ring with a 2-tile
+  lookahead (the open sequence is known ahead of time from the same prefetch
+  arrays), so tile-boundary loads overlap compositing.
+
+Empty tiles never appear in the chunk stream; the wrapper fills their output
+rows (T=1, colors 0 — the init state of the batched kernel) with one fused
+jnp.where outside the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .composite import SPLAT_WIDTH, _chunk_geometry, _composite_step, _tril
+
+
+def _tile_pixel_coords(owner, grid_x: int, tile_x: int, tile_y: int):
+    """Pixel coords of a *dynamic* tile index, shape (1, tile_x*tile_y)."""
+    npix = tile_x * tile_y
+    tile_col = owner % grid_x
+    tile_row = owner // grid_x
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
+    px = (tile_col * tile_x + p % tile_x).astype(jnp.float32)
+    py = (tile_row * tile_y + p // tile_x).astype(jnp.float32)
+    return px, py
+
+
+def _stream_forward_kernel(
+    owner_ref,   # (C,) int32 scalar-prefetch: owning tile per chunk slot
+    inbase_ref,  # (C,) int32: instance base within the tile
+    ccount_ref,  # (C,) int32: instance count of the owning tile
+    splat_ref,   # (16, S*chunk) VMEM block — this step's slice of the stream
+    out_ref,     # (T, 8, npix) HBM — written by manual flush DMA
+    acc,         # (8, npix) VMEM scratch: [c0,c1,c2,T,nc,done,-,-]
+    staging,     # (2, 8, npix) VMEM scratch: flush double buffer
+    fmeta,       # (4,) SMEM scratch: [flush_ctr, owner_slot0, owner_slot1, -]
+    fsem,        # (2,) DMA semaphores for flushes
+    *,
+    grid_x: int,
+    tile_x: int,
+    tile_y: int,
+    chunk: int,
+    s_chunks: int,
+    num_tiles: int,
+    num_steps: int,
+    alpha_max: float,
+    alpha_min: float,
+    eps: float,
+):
+    npix = tile_x * tile_y
+    i = pl.program_id(0)
+    tril = _tril(chunk)
+
+    @pl.when(i == 0)
+    def _():
+        fmeta[0] = 0
+
+    def flush_dma(slot, owner):
+        return pltpu.make_async_copy(
+            staging.at[slot], out_ref.at[owner], fsem.at[slot]
+        )
+
+    for j in range(s_chunks):
+        c = i * s_chunks + j
+        owner = owner_ref[c]
+        inbase = inbase_ref[c]
+        cnt = ccount_ref[c]
+
+        @pl.when(owner < num_tiles)
+        def _():
+            @pl.when(inbase == 0)
+            def _():
+                acc[0:3, :] = jnp.zeros((3, npix), jnp.float32)
+                acc[3:4, :] = jnp.ones((1, npix), jnp.float32)
+                acc[4:6, :] = jnp.zeros((2, npix), jnp.float32)
+
+            saturated = jnp.min(acc[5:6, :]) > 0.5
+
+            @pl.when(jnp.logical_not(saturated))
+            def _():
+                rows = jnp.transpose(
+                    splat_ref[:, j * chunk : (j + 1) * chunk]
+                )  # (chunk, 16)
+                px, py = _tile_pixel_coords(owner, grid_x, tile_x, tile_y)
+                a_hat, skip, _, _, _, row = _chunk_geometry(
+                    rows, px, py, inbase, cnt, alpha_max, alpha_min, chunk
+                )
+                contrib, t_g, t_out, done_out = _composite_step(
+                    a_hat, skip, acc[3:4, :], acc[5:6, :], eps, tril
+                )
+                w = a_hat * t_g
+                # where() selections, not mask multiplies: see composite.py
+                acc[0:1, :] += jnp.sum(
+                    jnp.where(contrib, w * rows[:, 6:7], 0.0), 0, keepdims=True
+                )
+                acc[1:2, :] += jnp.sum(
+                    jnp.where(contrib, w * rows[:, 7:8], 0.0), 0, keepdims=True
+                )
+                acc[2:3, :] += jnp.sum(
+                    jnp.where(contrib, w * rows[:, 8:9], 0.0), 0, keepdims=True
+                )
+                gidx = (inbase + row + 1).astype(jnp.float32)
+                acc[4:5, :] = jnp.maximum(
+                    acc[4:5, :],
+                    jnp.max(jnp.where(contrib, gidx, 0.0), 0, keepdims=True),
+                )
+                acc[3:4, :] = t_out
+                acc[5:6, :] = done_out
+
+            @pl.when(inbase + chunk >= cnt)  # last chunk: flush the tile
+            def _():
+                ctr = fmeta[0]
+                slot = jax.lax.rem(ctr, 2)
+
+                @pl.when(ctr >= 2)
+                def _():  # reclaim the staging slot
+                    flush_dma(slot, fmeta[1 + slot]).wait()
+
+                staging[slot, 0:5, :] = acc[0:5, :]
+                staging[slot, 5:8, :] = jnp.zeros((3, npix), jnp.float32)
+                flush_dma(slot, owner).start()
+                fmeta[1 + slot] = owner
+                fmeta[0] = ctr + 1
+
+    @pl.when(i == num_steps - 1)
+    def _():  # drain in-flight flushes
+        ctr = fmeta[0]
+        for back in range(2):
+            @pl.when(ctr >= back + 1)
+            def _():
+                slot = jax.lax.rem(ctr - 1 - back, 2)
+                flush_dma(slot, fmeta[1 + slot]).wait()
+
+
+def _stream_backward_kernel(
+    owner_ref,    # (C,) int32
+    inbase_ref,   # (C,) int32
+    ccount_ref,   # (C,) int32
+    openidx_ref,  # (C,) int32: ordinal of the tile-open at this chunk (if any)
+    openseq_ref,  # (C+pad,) int32: tile id of the k-th open (sentinel-padded)
+    splat_ref,    # (16, S*chunk) VMEM block
+    meta_hbm,     # (T, 16, npix) HBM: rows 0:8 fwd out, 8:16 upstream grads
+    dsplat_ref,   # (16, S*chunk) VMEM out block
+    state,        # (8, npix) VMEM scratch: [T,done,p0,p1,p2,-,-,-]
+    ring,         # (4, 16, npix) VMEM scratch: tile-meta DMA ring
+    rsem,         # (4,) DMA semaphores for the ring
+    *,
+    grid_x: int,
+    tile_x: int,
+    tile_y: int,
+    chunk: int,
+    s_chunks: int,
+    num_tiles: int,
+    num_steps: int,
+    alpha_max: float,
+    alpha_min: float,
+    eps: float,
+    lookahead: int = 2,
+):
+    npix = tile_x * tile_y
+    i = pl.program_id(0)
+    tril = _tril(chunk)
+
+    def ring_dma(k, tile):
+        slot = jax.lax.rem(k, 4)
+        return pltpu.make_async_copy(
+            meta_hbm.at[tile], ring.at[slot], rsem.at[slot]
+        )
+
+    @pl.when(i == 0)
+    def _():  # warm the ring with the first `lookahead` opens
+        for k in range(lookahead):
+            tile = openseq_ref[k]
+
+            @pl.when(tile < num_tiles)
+            def _():
+                ring_dma(k, tile).start()
+
+    dsplat_ref[:, :] = jnp.zeros_like(dsplat_ref)
+
+    for j in range(s_chunks):
+        c = i * s_chunks + j
+        owner = owner_ref[c]
+        inbase = inbase_ref[c]
+        cnt = ccount_ref[c]
+        kopen = openidx_ref[c]
+
+        @pl.when(owner < num_tiles)
+        def _():
+            @pl.when(inbase == 0)
+            def _():  # tile open: receive this tile's meta, prefetch ahead
+                ring_dma(kopen, owner).wait()
+                nxt = openseq_ref[kopen + lookahead]
+
+                @pl.when(nxt < num_tiles)
+                def _():
+                    ring_dma(kopen + lookahead, nxt).start()
+
+                state[0:1, :] = jnp.ones((1, npix), jnp.float32)
+                state[1:5, :] = jnp.zeros((4, npix), jnp.float32)
+
+            saturated = jnp.min(state[1:2, :]) > 0.5
+
+            @pl.when(jnp.logical_not(saturated))
+            def _():
+                slot = jax.lax.rem(kopen, 4)
+                rows = jnp.transpose(
+                    splat_ref[:, j * chunk : (j + 1) * chunk]
+                )  # (chunk, 16)
+                px, py = _tile_pixel_coords(owner, grid_x, tile_x, tile_y)
+                total0 = ring[slot, 0:1, :]
+                total1 = ring[slot, 1:2, :]
+                total2 = ring[slot, 2:3, :]
+                t_final = ring[slot, 3:4, :]
+                gc0 = ring[slot, 8:9, :]
+                gc1 = ring[slot, 9:10, :]
+                gc2 = ring[slot, 10:11, :]
+                gt = ring[slot, 11:12, :]
+
+                a_hat, skip, g_exp, dx, dy, _ = _chunk_geometry(
+                    rows, px, py, inbase, cnt, alpha_max, alpha_min, chunk
+                )
+                contrib, t_g, t_out, done_out = _composite_step(
+                    a_hat, skip, state[0:1, :], state[1:2, :], eps, tril
+                )
+                col0 = rows[:, 6:7]
+                col1 = rows[:, 7:8]
+                col2 = rows[:, 8:9]
+                wat = a_hat * t_g
+                wc0 = jnp.where(contrib, wat * col0, 0.0)
+                wc1 = jnp.where(contrib, wat * col1, 0.0)
+                wc2 = jnp.where(contrib, wat * col2, 0.0)
+                pc0 = state[2:3, :] + jnp.dot(
+                    tril, wc0, preferred_element_type=jnp.float32
+                )
+                pc1 = state[3:4, :] + jnp.dot(
+                    tril, wc1, preferred_element_type=jnp.float32
+                )
+                pc2 = state[4:5, :] + jnp.dot(
+                    tril, wc2, preferred_element_type=jnp.float32
+                )
+
+                om = 1.0 - a_hat
+                inv_om = 1.0 / om
+                dalpha = (
+                    gc0 * (col0 * t_g - (total0 - pc0) * inv_om)
+                    + gc1 * (col1 * t_g - (total1 - pc1) * inv_om)
+                    + gc2 * (col2 * t_g - (total2 - pc2) * inv_om)
+                    + gt * (-t_final * inv_om)
+                )
+                dalpha = jnp.where(contrib, dalpha, 0.0)
+                op = rows[:, 5:6]
+                g_safe = jnp.where(skip, 0.0, g_exp)
+                gg = op * dalpha * g_safe
+                ca = rows[:, 2:3]
+                cb = rows[:, 3:4]
+                cc = rows[:, 4:5]
+
+                def msum(x):
+                    return jnp.sum(jnp.where(contrib, x, 0.0), 1, keepdims=True)
+
+                d_x = msum(gg * (-(ca * dx + cb * dy)))
+                d_y = msum(gg * (-(cc * dy + cb * dx)))
+                d_ca = msum(gg * (-0.5 * dx * dx))
+                d_cb = msum(gg * (-dx * dy))
+                d_cc = msum(gg * (-0.5 * dy * dy))
+                d_op = msum(g_safe * dalpha)
+                wmask = jnp.where(contrib, wat, 0.0)
+                d_c0 = jnp.sum(wmask * gc0, 1, keepdims=True)
+                d_c1 = jnp.sum(wmask * gc1, 1, keepdims=True)
+                d_c2 = jnp.sum(wmask * gc2, 1, keepdims=True)
+
+                grads = jnp.concatenate(
+                    [d_x, d_y, d_ca, d_cb, d_cc, d_op, d_c0, d_c1, d_c2,
+                     jnp.zeros((chunk, SPLAT_WIDTH - 9), jnp.float32)],
+                    axis=1,
+                )  # (chunk, 16)
+                dsplat_ref[:, j * chunk : (j + 1) * chunk] = jnp.transpose(grads)
+                state[0:1, :] = t_out
+                state[1:2, :] = done_out
+                state[2:3, :] = pc0[chunk - 1 :, :]
+                state[3:4, :] = pc1[chunk - 1 :, :]
+                state[4:5, :] = pc2[chunk - 1 :, :]
+
+
+def _chunk_tables(tile_chunk_start, tile_count, *, chunk: int, c_padded: int):
+    """XLA-side scalar-prefetch tables: per-chunk-slot owner / in-tile base /
+    tile count, plus the tile-open sequence for the backward's meta ring."""
+    T = tile_count.shape[0]
+    cpt = (tile_count + chunk - 1) // chunk  # chunks per tile
+    total_chunks = tile_chunk_start[-1] + cpt[-1]
+    slot = jnp.arange(c_padded, dtype=jnp.int32)
+    owner_raw = jnp.repeat(
+        jnp.arange(T, dtype=jnp.int32), cpt, total_repeat_length=c_padded
+    )
+    valid = slot < total_chunks
+    owner = jnp.where(valid, owner_raw, T).astype(jnp.int32)
+    safe_owner = jnp.minimum(owner_raw, T - 1)
+    inbase = jnp.where(
+        valid, (slot - tile_chunk_start[safe_owner]) * chunk, 0
+    ).astype(jnp.int32)
+    ccount = jnp.where(valid, tile_count[safe_owner], 0).astype(jnp.int32)
+
+    is_open = valid & (inbase == 0)
+    openidx = (jnp.cumsum(is_open.astype(jnp.int32)) - 1).astype(jnp.int32)
+    openidx = jnp.maximum(openidx, 0)
+    # open_seq[k] = tile id of the k-th open; sentinel-padded (ring lookahead
+    # reads up to `lookahead` past the final open).
+    openseq = jnp.full((c_padded + 8,), T, jnp.int32)
+    openseq = openseq.at[jnp.where(is_open, openidx, c_padded)].set(
+        owner, mode="drop"
+    )
+    return owner, inbase, ccount, openidx, openseq
+
+
+@functools.lru_cache(maxsize=None)
+def make_stream_composite(
+    *,
+    grid_x: int,
+    grid_y: int,
+    tile_x: int,
+    tile_y: int,
+    chunk: int,
+    padded_capacity: int,
+    stream_chunks: int = 8,
+    alpha_max: float = 0.99,
+    alpha_min: float = 1.0 / 255.0,
+    eps: float = 1e-4,
+    interpret: bool = False,
+):
+    """Build the streaming differentiable tile-compositing op.
+
+    Same contract as composite.make_tile_composite: returns
+    comp(splats_T (16, Kp), tile_chunk_start (T,), tile_count (T,)) ->
+    (T, 8, npix) rows [r, g, b, final_T, n_contrib, 0, 0, 0].
+    """
+    num_tiles = grid_x * grid_y
+    npix = tile_x * tile_y
+    Kp = padded_capacity
+    assert Kp % chunk == 0
+    c_total = Kp // chunk
+    S = max(1, min(stream_chunks, c_total))
+    num_steps = (c_total + S - 1) // S
+    c_padded = num_steps * S
+    kw = dict(
+        grid_x=grid_x,
+        tile_x=tile_x,
+        tile_y=tile_y,
+        chunk=chunk,
+        s_chunks=S,
+        num_tiles=num_tiles,
+        num_steps=num_steps,
+        alpha_max=alpha_max,
+        alpha_min=alpha_min,
+        eps=eps,
+    )
+    kp_padded = c_padded * chunk
+
+    fwd_call = pl.pallas_call(
+        functools.partial(_stream_forward_kernel, **kw),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(num_steps,),
+            in_specs=[
+                pl.BlockSpec(
+                    (SPLAT_WIDTH, S * chunk),
+                    lambda i, *_: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((8, npix), jnp.float32),
+                pltpu.VMEM((2, 8, npix), jnp.float32),
+                pltpu.SMEM((4,), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, npix), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )
+
+    bwd_call = pl.pallas_call(
+        functools.partial(_stream_backward_kernel, **kw),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(num_steps,),
+            in_specs=[
+                pl.BlockSpec(
+                    (SPLAT_WIDTH, S * chunk),
+                    lambda i, *_: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),  # meta (T, 16, npix)
+            ],
+            out_specs=pl.BlockSpec(
+                (SPLAT_WIDTH, S * chunk),
+                lambda i, *_: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((8, npix), jnp.float32),
+                pltpu.VMEM((4, 16, npix), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((SPLAT_WIDTH, kp_padded), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )
+
+    def _pad_stream(splats_t):
+        if kp_padded == Kp:
+            return splats_t
+        return jnp.pad(splats_t, ((0, 0), (0, kp_padded - Kp)))
+
+    def _default_rows():
+        # Init state of a tile no instance touched: colors 0, T=1, nc=0.
+        d = np.zeros((1, 8, npix), np.float32)
+        d[0, 3, :] = 1.0
+        return jnp.asarray(d)
+
+    @jax.custom_vjp
+    def comp(splats_t, tile_chunk_start, tile_count):
+        out, _ = _fwd_impl(splats_t, tile_chunk_start, tile_count)
+        return out
+
+    def _fwd_impl(splats_t, tile_chunk_start, tile_count):
+        owner, inbase, ccount, openidx, openseq = _chunk_tables(
+            tile_chunk_start, tile_count, chunk=chunk, c_padded=c_padded
+        )
+        raw = fwd_call(owner, inbase, ccount, _pad_stream(splats_t))
+        empty = (tile_count == 0)[:, None, None]
+        out = jnp.where(empty, _default_rows(), raw)
+        return out, (owner, inbase, ccount, openidx, openseq)
+
+    def comp_fwd(splats_t, tile_chunk_start, tile_count):
+        out, tables = _fwd_impl(splats_t, tile_chunk_start, tile_count)
+        return out, (splats_t, tables, out)
+
+    def comp_bwd(res, g):
+        splats_t, tables, out = res
+        owner, inbase, ccount, openidx, openseq = tables
+        meta = jnp.concatenate([out, g], axis=1)  # (T, 16, npix)
+        dsplats = bwd_call(
+            owner, inbase, ccount, openidx, openseq, _pad_stream(splats_t), meta
+        )[:, :Kp]
+        zi = np.zeros(owner.shape, jax.dtypes.float0)
+        zi_t = np.zeros((num_tiles,), jax.dtypes.float0)
+        return (dsplats, zi_t, zi_t)
+
+    comp.defvjp(comp_fwd, comp_bwd)
+    return comp

@@ -105,21 +105,25 @@ def rasterize_arrays(
     sorted_splats = jax.lax.optimization_barrier(splats[binning.gid])
     sorted_splats_t = jax.lax.optimization_barrier(sorted_splats.T)
 
-    comp = make_tile_composite(
+    Kp = aligned_capacity(cfg.instance_capacity, grid_x * grid_y, cfg.chunk)
+    common = dict(
         grid_x=grid_x,
         grid_y=grid_y,
         tile_x=cfg.tile_x,
         tile_y=cfg.tile_y,
         chunk=cfg.chunk,
-        padded_capacity=aligned_capacity(
-            cfg.instance_capacity, grid_x * grid_y, cfg.chunk
-        ),
-        tile_batch=cfg.tile_batch,
+        padded_capacity=Kp,
         alpha_max=cfg.alpha_max,
         alpha_min=cfg.alpha_min,
         eps=cfg.transmittance_eps,
         interpret=interpret,
     )
+    if cfg.composite_mode == "stream":
+        from .pallas.stream_composite import make_stream_composite
+
+        comp = make_stream_composite(stream_chunks=cfg.stream_chunks, **common)
+    else:
+        comp = make_tile_composite(tile_batch=cfg.tile_batch, **common)
     out_tiles = comp(
         sorted_splats_t, binning.tile_chunk_start, binning.tile_count
     )[: grid_x * grid_y]

@@ -185,6 +185,40 @@ def test_packed_sort_matches_exact(rng):
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_e), atol=1e-5)
 
 
+def test_stream_matches_batch_composite(rng):
+    """The stream-schedule kernel (flat chunk sweep, persistent VMEM state)
+    must be bit-equivalent to the tile-batched kernel: same math, different
+    schedule.  Covers forward image/T/n_contrib and input gradients."""
+    import dataclasses
+
+    pre, opac, colors, _ = make_scene(rng, n=180)
+    bg = jnp.asarray([0.25, 0.5, 0.75])
+    wimg = jnp.asarray(rng.normal(size=(3, H, W)), jnp.float32)
+    outs = {}
+    for mode, extra in [("batch", {}), ("stream", {"stream_chunks": 3})]:
+        cfg = dataclasses.replace(CFG, composite_mode=mode, **extra)
+
+        def loss(op, col):
+            img, ft, nc, req = rasterize_arrays(
+                pre.means2d_pix, pre.depths, pre.conics, op, col,
+                pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=cfg,
+            )
+            return jnp.sum(img * wimg), (img, ft, nc)
+
+        (lv, aux), grads = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(opac, colors)
+        outs[mode] = (aux, grads)
+
+    (img_b, ft_b, nc_b), g_b = outs["batch"]
+    (img_s, ft_s, nc_s), g_s = outs["stream"]
+    np.testing.assert_array_equal(np.asarray(nc_s), np.asarray(nc_b))
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_b), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ft_s), np.asarray(ft_b), atol=1e-7)
+    for name, a, b in zip(["opacity", "colors"], g_b, g_s):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-7, err_msg=name)
+
+
 def test_tile32_matches_dense(rng):
     """Non-default tile size (32x32): binning/kernels are tile-size generic;
     the oracle uses the same tile granularity for its rect masking."""
