@@ -1,14 +1,14 @@
 """Tile binning: gaussian -> (tile, depth)-sorted instance list, static shapes.
 
 TPU re-design of the CUDA pipeline in rasterizer_impl.cu:
-- CUB InclusiveSum of tiles_touched   (:277)        -> jnp.cumsum
-- duplicateWithKeys 64-bit keys       (:70-111)     -> segmented expansion via
-  jnp.repeat with a static total length (no per-thread loops, no dynamic
-  allocation)
+- CUB InclusiveSum of tiles_touched   (:277)        -> blocked MXU cumsum
+- duplicateWithKeys 64-bit keys       (:70-111)     -> scatter-at-segment-start
+  + blocked cummax fill (monotone gaussian ids), static total length
 - CUB DeviceRadixSort on [tile|depth] (:300-308)    -> jax.lax.sort with two
-  keys (tile id, depth float) — stable, so emission order breaks ties exactly
-  like the radix sort over bit-packed keys
-- identifyTileRanges                  (:116-138)    -> jnp.searchsorted
+  keys (tile id, depth float) or a packed single uint32 key — stable, so
+  emission order breaks ties exactly like the radix sort over bit-packed keys
+- identifyTileRanges                  (:116-138)    -> explicit vectorized
+  binary search (jnp.take per round) over the sorted keys
 
 Two TPU-specific deltas from the CUDA version:
 
@@ -22,6 +22,20 @@ Two TPU-specific deltas from the CUDA version:
    DMA slices, and gives the backward kernel an exclusive, disjoint slice of
    gradient rows per tile (the no-atomics design).  Padding rows inside a
    tile's last chunk point at gaussian 0 but are masked by the per-tile count.
+
+Performance notes (profiled on v5e at 1M instances — tools/profile_binning.py):
+XLA's generic gather/scatter/scan lower to ~2.4G elements/s on TPU, so the
+v1 pipeline (jnp.repeat + 4-wide packed gather + searchsorted + rank gathers)
+spent ~36ms outside the sort.  v2 replaces them with:
+- ops/scan_utils blocked cumsum (MXU triangular matmuls) instead of XLA's
+  scan lowering;
+- delta-cumsum segment fills (_delta_fills) instead of K-sized gathers or
+  cummax wherever the per-instance value is a per-segment constant that is
+  monotone across segments (owner id, segment start, tile start, chunk base);
+- one int32 rect-code gather + one depth gather (the only K-sized gathers
+  left before the sort);
+- per-round jnp.take binary search (T+1 queries) instead of
+  jnp.searchsorted's 6ms lowering.
 """
 
 from __future__ import annotations
@@ -30,6 +44,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from .scan_utils import cumsum_i32
 
 
 class Binning(NamedTuple):
@@ -44,6 +60,55 @@ class Binning(NamedTuple):
 def aligned_capacity(capacity: int, num_tiles: int, chunk: int) -> int:
     """Static padded capacity: every tile can waste < chunk rows."""
     return ((capacity + chunk - 1) // chunk) * chunk + num_tiles * chunk
+
+
+def take_searchsorted(sorted_arr: jnp.ndarray, queries: jnp.ndarray):
+    """bisect_left via explicit vectorized binary search (jnp.take rounds).
+
+    jnp.searchsorted's TPU lowering measured ~6ms for 8k queries into a 1M
+    table; ceil(log2(K)) rounds of a (Q,)-sized take are ~10x faster.
+    """
+    n = sorted_arr.shape[0]
+    lo = jnp.zeros(queries.shape, jnp.int32)
+    hi = jnp.full(queries.shape, n, jnp.int32)
+    # The search interval [lo, hi] starts n+1 wide, so n.bit_length() rounds.
+    rounds = max(1, n.bit_length())
+    for _ in range(rounds):
+        live = lo < hi
+        mid = (lo + hi) // 2
+        v = jnp.take(sorted_arr, jnp.minimum(mid, n - 1))
+        go_right = live & (v < queries)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(live & jnp.logical_not(go_right), mid, hi)
+    return lo
+
+
+def _delta_fills(values_list, active, positions, K: int):
+    """Segment-fill (K,) arrays with per-segment constants via delta cumsum.
+
+    Each ``values_list[i]`` is an (N,)-sized array of NON-DECREASING values
+    over the segments whose start positions are ``positions`` (active segments
+    selected by ``active``).  A monotone segment fill telescopes: scatter each
+    segment's delta vs. the previous active segment at its start position and
+    take one MXU-blocked cumsum — O(small) scatters + one fast scan per fill,
+    instead of a cummax (whose TPU lowering via lane shifts is ~10x slower).
+    Positions before the first active segment fill with 0.
+    """
+    n = active.shape[0]
+    arank = cumsum_i32(active.astype(jnp.int32)) - 1
+    slot = jnp.where(active, arank, n)
+    prev_idx = jnp.maximum(arank - 1, 0)
+    scatter_pos = jnp.where(active, positions, K)
+    fills = []
+    for vals in values_list:
+        compact = jnp.zeros((n,), jnp.int32).at[slot].set(vals, mode="drop")
+        prev = jnp.where(arank > 0, jnp.take(compact, prev_idx), 0)
+        delta = jnp.where(active, vals - prev, 0)
+        seg = jnp.zeros((K,), jnp.int32).at[scatter_pos].set(
+            delta, mode="drop"
+        )
+        fills.append(cumsum_i32(seg))
+    return fills
 
 
 def bin_gaussians(
@@ -72,36 +137,35 @@ def bin_gaussians(
     Kp = aligned_capacity(K, num_tiles, chunk)
 
     t = tiles_touched.astype(jnp.int32)
-    cum = jnp.cumsum(t)  # inclusive prefix sum
+    cum = cumsum_i32(t)  # inclusive prefix sum (MXU-blocked)
     offsets = cum - t  # exclusive
     required = cum[-1] if P > 0 else jnp.int32(0)
 
-    # Segmented expansion: instance slot -> owning gaussian via jnp.repeat
-    # (static total length; the tail repeats the last id and is masked).
-    # Per-gaussian fields are packed into ONE int32 row so the K-sized
-    # expansion needs only two gathers (a searchsorted formulation measured
-    # 3-4x slower on TPU: XLA lowers it to per-step gather loops).
-    safe_gid = jnp.repeat(
-        jnp.arange(P, dtype=jnp.int32), t, total_repeat_length=K
-    )
+    # --- segmented expansion -------------------------------------------
+    # Emitting gaussians (t > 0) each own the contiguous instance segment
+    # [offsets, offsets + t).  Both the owner id and the segment start
+    # position are non-decreasing across segments, so delta-cumsum fills
+    # reconstruct ownership exactly (jnp.repeat semantics) without the
+    # searchsorted lowering jnp.repeat uses.
+    ids = jnp.arange(P, dtype=jnp.int32)
+    safe_gid, offs = _delta_fills([ids, offsets], t > 0, offsets, K)
     pos = jnp.arange(K, dtype=jnp.int32)
     valid = pos < jnp.minimum(required, K)
+    rank = pos - offs
 
-    packed = jnp.stack(
-        [offsets, rect[:, 0], rect[:, 1],
-         jnp.maximum(rect[:, 2] - rect[:, 0], 1)],
-        axis=1,
-    )  # (P, 4) int32
-    # Optimization barriers pin stage boundaries: without them XLA fuses the
-    # expansion/sort/gather producers into each other's consumers and the
-    # fused pipeline measures ~2x slower than its parts (profiled on v5e).
-    safe_gid, packed = jax.lax.optimization_barrier((safe_gid, packed))
-    pk = packed[safe_gid]  # (K, 4)
-    rank = pos - pk[:, 0]
+    # Per-gaussian rect code: x0/y0/width in 10 bits each (grids up to
+    # 1023x1023 tiles = 16k x 16k pixels).  One int32 gather + one depth
+    # gather are the only K-sized gathers before the sort.
+    w_t = jnp.maximum(rect[:, 2] - rect[:, 0], 1)
+    code = (rect[:, 0] << 20) | (rect[:, 1] << 10) | w_t
+    safe_gid, offs, code = jax.lax.optimization_barrier((safe_gid, offs, code))
+    ic = code[safe_gid]
+    iw = ic & 0x3FF
+    iy0 = (ic >> 10) & 0x3FF
+    ix0 = ic >> 20
     # duplicateWithKeys iterates y-outer / x-inner (rasterizer_impl.cu:89-103).
-    w = pk[:, 3]
-    tx = pk[:, 1] + rank % w
-    ty = pk[:, 2] + rank // w
+    tx = ix0 + rank % iw
+    ty = iy0 + rank // iw
     tile_id = jnp.where(valid, ty * grid_x + tx, num_tiles).astype(jnp.int32)
     depth_key = jnp.where(valid, depths[safe_gid], jnp.inf).astype(jnp.float32)
     tile_id, depth_key = jax.lax.optimization_barrier((tile_id, depth_key))
@@ -115,38 +179,42 @@ def bin_gaussians(
         dbits = (depth_key.view(jnp.uint32) >> 13) & jnp.uint32(0x7FFFF)
         key = (tile_id.astype(jnp.uint32) << 19) | dbits
         key_sorted, gid_sorted = jax.lax.sort(
-            (key, safe_gid.astype(jnp.int32)), num_keys=1, is_stable=True
+            (key, safe_gid), num_keys=1, is_stable=True
         )
         tile_sorted = (key_sorted >> 19).astype(jnp.int32)
-        tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-        bounds = jnp.searchsorted(
-            key_sorted, (tile_range.astype(jnp.uint32) << 19), side="left"
-        ).astype(jnp.int32)
+        tile_range = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << 19
+        bounds = take_searchsorted(key_sorted, tile_range).astype(jnp.int32)
     else:
         tile_sorted, _, gid_sorted = jax.lax.sort(
-            (tile_id, depth_key, safe_gid.astype(jnp.int32)), num_keys=2,
-            is_stable=True,
+            (tile_id, depth_key, safe_gid), num_keys=2, is_stable=True
         )
         tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-        bounds = jnp.searchsorted(tile_sorted, tile_range, side="left").astype(
-            jnp.int32
-        )
+        bounds = take_searchsorted(tile_sorted, tile_range).astype(jnp.int32)
     tile_start = bounds[:-1]
     tile_count = bounds[1:] - bounds[:-1]
     num_instances = jnp.minimum(required, K).astype(jnp.int32)
 
-    # Chunk-aligned re-layout: tile t's instances move to
-    # chunk_start[t]*chunk + within-tile rank.
+    # --- chunk-aligned re-layout ----------------------------------------
+    # Tile t's instances move to chunk_start[t]*chunk + within-tile rank.
+    # Rank and chunk base come from segment fills on the sorted stream
+    # itself (no (T,)-table gathers): a segment starts where the sorted tile
+    # id changes; the chunk base is the running count of chunks consumed by
+    # all previously *closed* tiles, which is segment-constant.
     chunks_per_tile = (tile_count + chunk - 1) // chunk
-    chunk_start = jnp.cumsum(chunks_per_tile) - chunks_per_tile  # exclusive
+    chunk_start = cumsum_i32(chunks_per_tile) - chunks_per_tile  # exclusive
     total_aligned = (chunk_start[-1] + chunks_per_tile[-1]) * chunk
 
-    in_tile = tile_sorted < num_tiles
-    safe_tile = jnp.minimum(tile_sorted, num_tiles - 1)
-    rank_in_tile = pos - tile_start[safe_tile]
-    new_pos = jnp.where(
-        in_tile, chunk_start[safe_tile] * chunk + rank_in_tile, Kp
+    # Both fills are per-tile constants, non-decreasing in tile order, with
+    # known segment starts (tile_start): two delta-cumsum fills over the
+    # sorted stream, scattered from (T,)-sized deltas.
+    start_fill, chunk_base = _delta_fills(
+        [tile_start, chunk_start], tile_count > 0, tile_start, K
     )
+    rank_in_tile = pos - start_fill
+
+    in_tile = tile_sorted < num_tiles
+    new_pos = jnp.where(in_tile, chunk_base * chunk + rank_in_tile, Kp)
+    new_pos, gid_sorted = jax.lax.optimization_barrier((new_pos, gid_sorted))
     gid_aligned = jnp.zeros((Kp,), jnp.int32).at[new_pos].set(
         gid_sorted, mode="drop"
     )

@@ -402,7 +402,7 @@ def _backward_kernel(
 
 
 @functools.lru_cache(maxsize=None)
-def make_tile_composite(
+def make_batch_calls(
     *,
     grid_x: int,
     grid_y: int,
@@ -416,11 +416,12 @@ def make_tile_composite(
     eps: float = 1e-4,
     interpret: bool = False,
 ):
-    """Build the differentiable tile-compositing op for a static geometry.
+    """Raw forward/backward pallas_calls of the tile-batched schedule.
 
-    Returns comp(splats_T (16, Kp), tile_chunk_start (T,), tile_count (T,)) ->
-    (T_pad, 8, npix) with rows [r, g, b, final_T, n_contrib, 0, 0, 0], where
-    T_pad rounds the tile count up to the batch size (callers slice [:T]).
+    Returns (fwd_call, bwd_call, t_pad); fwd_call(start, count, splats_t) ->
+    (T_pad, 8, npix), bwd_call(start, count, splats_t, fwd_out, g) ->
+    (16, Kp).  Exposed separately so make_mixed_composite can pair this
+    forward with the stream-schedule backward (bit-identical numerics).
     """
     num_tiles = grid_x * grid_y
     tb = max(1, min(tile_batch, num_tiles))
@@ -488,6 +489,44 @@ def make_tile_composite(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
+        interpret=interpret,
+    )
+    return fwd_call, bwd_call, t_pad
+
+
+@functools.lru_cache(maxsize=None)
+def make_tile_composite(
+    *,
+    grid_x: int,
+    grid_y: int,
+    tile_x: int,
+    tile_y: int,
+    chunk: int,
+    padded_capacity: int,
+    tile_batch: int = 4,
+    alpha_max: float = 0.99,
+    alpha_min: float = 1.0 / 255.0,
+    eps: float = 1e-4,
+    interpret: bool = False,
+):
+    """Build the differentiable tile-compositing op for a static geometry.
+
+    Returns comp(splats_T (16, Kp), tile_chunk_start (T,), tile_count (T,)) ->
+    (T_pad, 8, npix) with rows [r, g, b, final_T, n_contrib, 0, 0, 0], where
+    T_pad rounds the tile count up to the batch size (callers slice [:T]).
+    """
+    Kp = padded_capacity
+    fwd_call, bwd_call, t_pad = make_batch_calls(
+        grid_x=grid_x,
+        grid_y=grid_y,
+        tile_x=tile_x,
+        tile_y=tile_y,
+        chunk=chunk,
+        padded_capacity=padded_capacity,
+        tile_batch=tile_batch,
+        alpha_max=alpha_max,
+        alpha_min=alpha_min,
+        eps=eps,
         interpret=interpret,
     )
 

@@ -343,7 +343,7 @@ def _chunk_tables(tile_chunk_start, tile_count, *, chunk: int, c_padded: int):
 
 
 @functools.lru_cache(maxsize=None)
-def make_stream_composite(
+def make_stream_calls(
     *,
     grid_x: int,
     grid_y: int,
@@ -357,11 +357,9 @@ def make_stream_composite(
     eps: float = 1e-4,
     interpret: bool = False,
 ):
-    """Build the streaming differentiable tile-compositing op.
+    """Raw forward/backward pallas_calls of the stream schedule.
 
-    Same contract as composite.make_tile_composite: returns
-    comp(splats_T (16, Kp), tile_chunk_start (T,), tile_count (T,)) ->
-    (T, 8, npix) rows [r, g, b, final_T, n_contrib, 0, 0, 0].
+    Returns (fwd_call, bwd_call, c_padded, kp_padded).
     """
     num_tiles = grid_x * grid_y
     npix = tile_x * tile_y
@@ -442,31 +440,67 @@ def make_stream_composite(
         ),
         interpret=interpret,
     )
+    return fwd_call, bwd_call, c_padded, kp_padded
 
-    def _pad_stream(splats_t):
-        if kp_padded == Kp:
-            return splats_t
-        return jnp.pad(splats_t, ((0, 0), (0, kp_padded - Kp)))
 
-    def _default_rows():
-        # Init state of a tile no instance touched: colors 0, T=1, nc=0.
-        d = np.zeros((1, 8, npix), np.float32)
-        d[0, 3, :] = 1.0
-        return jnp.asarray(d)
+def _pad_stream(splats_t, kp_padded: int):
+    Kp = splats_t.shape[1]
+    if kp_padded == Kp:
+        return splats_t
+    return jnp.pad(splats_t, ((0, 0), (0, kp_padded - Kp)))
 
-    @jax.custom_vjp
-    def comp(splats_t, tile_chunk_start, tile_count):
-        out, _ = _fwd_impl(splats_t, tile_chunk_start, tile_count)
-        return out
+
+def _default_rows(npix: int):
+    # Init state of a tile no instance touched: colors 0, T=1, nc=0.
+    d = np.zeros((1, 8, npix), np.float32)
+    d[0, 3, :] = 1.0
+    return jnp.asarray(d)
+
+
+@functools.lru_cache(maxsize=None)
+def make_stream_composite(
+    *,
+    grid_x: int,
+    grid_y: int,
+    tile_x: int,
+    tile_y: int,
+    chunk: int,
+    padded_capacity: int,
+    stream_chunks: int = 8,
+    alpha_max: float = 0.99,
+    alpha_min: float = 1.0 / 255.0,
+    eps: float = 1e-4,
+    interpret: bool = False,
+):
+    """Build the streaming differentiable tile-compositing op.
+
+    Same contract as composite.make_tile_composite: returns
+    comp(splats_T (16, Kp), tile_chunk_start (T,), tile_count (T,)) ->
+    (T, 8, npix) rows [r, g, b, final_T, n_contrib, 0, 0, 0].
+    """
+    num_tiles = grid_x * grid_y
+    npix = tile_x * tile_y
+    Kp = padded_capacity
+    fwd_call, bwd_call, c_padded, kp_padded = make_stream_calls(
+        grid_x=grid_x, grid_y=grid_y, tile_x=tile_x, tile_y=tile_y,
+        chunk=chunk, padded_capacity=padded_capacity,
+        stream_chunks=stream_chunks, alpha_max=alpha_max, alpha_min=alpha_min,
+        eps=eps, interpret=interpret,
+    )
 
     def _fwd_impl(splats_t, tile_chunk_start, tile_count):
         owner, inbase, ccount, openidx, openseq = _chunk_tables(
             tile_chunk_start, tile_count, chunk=chunk, c_padded=c_padded
         )
-        raw = fwd_call(owner, inbase, ccount, _pad_stream(splats_t))
+        raw = fwd_call(owner, inbase, ccount, _pad_stream(splats_t, kp_padded))
         empty = (tile_count == 0)[:, None, None]
-        out = jnp.where(empty, _default_rows(), raw)
+        out = jnp.where(empty, _default_rows(npix), raw)
         return out, (owner, inbase, ccount, openidx, openseq)
+
+    @jax.custom_vjp
+    def comp(splats_t, tile_chunk_start, tile_count):
+        out, _ = _fwd_impl(splats_t, tile_chunk_start, tile_count)
+        return out
 
     def comp_fwd(splats_t, tile_chunk_start, tile_count):
         out, tables = _fwd_impl(splats_t, tile_chunk_start, tile_count)
@@ -477,9 +511,75 @@ def make_stream_composite(
         owner, inbase, ccount, openidx, openseq = tables
         meta = jnp.concatenate([out, g], axis=1)  # (T, 16, npix)
         dsplats = bwd_call(
-            owner, inbase, ccount, openidx, openseq, _pad_stream(splats_t), meta
+            owner, inbase, ccount, openidx, openseq,
+            _pad_stream(splats_t, kp_padded), meta
         )[:, :Kp]
         zi = np.zeros(owner.shape, jax.dtypes.float0)
+        zi_t = np.zeros((num_tiles,), jax.dtypes.float0)
+        return (dsplats, zi_t, zi_t)
+
+    comp.defvjp(comp_fwd, comp_bwd)
+    return comp
+
+
+@functools.lru_cache(maxsize=None)
+def make_mixed_composite(
+    *,
+    grid_x: int,
+    grid_y: int,
+    tile_x: int,
+    tile_y: int,
+    chunk: int,
+    padded_capacity: int,
+    tile_batch: int = 4,
+    stream_chunks: int = 8,
+    alpha_max: float = 0.99,
+    alpha_min: float = 1.0 / 255.0,
+    eps: float = 1e-4,
+    interpret: bool = False,
+):
+    """Tile-batched forward paired with the stream-schedule backward.
+
+    The two schedules produce bit-identical numerics (verified on chip); on
+    v5e the batched forward and the stream backward are each the faster of
+    their pair, so training uses this combination.  Same contract as
+    make_tile_composite (output is (T, 8, npix), already sliced).
+    """
+    from .composite import make_batch_calls
+
+    num_tiles = grid_x * grid_y
+    Kp = padded_capacity
+    b_fwd, _, _ = make_batch_calls(
+        grid_x=grid_x, grid_y=grid_y, tile_x=tile_x, tile_y=tile_y,
+        chunk=chunk, padded_capacity=padded_capacity, tile_batch=tile_batch,
+        alpha_max=alpha_max, alpha_min=alpha_min, eps=eps, interpret=interpret,
+    )
+    _, s_bwd, c_padded, kp_padded = make_stream_calls(
+        grid_x=grid_x, grid_y=grid_y, tile_x=tile_x, tile_y=tile_y,
+        chunk=chunk, padded_capacity=padded_capacity,
+        stream_chunks=stream_chunks, alpha_max=alpha_max, alpha_min=alpha_min,
+        eps=eps, interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def comp(splats_t, tile_chunk_start, tile_count):
+        return b_fwd(tile_chunk_start, tile_count, splats_t)[:num_tiles]
+
+    def comp_fwd(splats_t, tile_chunk_start, tile_count):
+        out = b_fwd(tile_chunk_start, tile_count, splats_t)[:num_tiles]
+        tables = _chunk_tables(
+            tile_chunk_start, tile_count, chunk=chunk, c_padded=c_padded
+        )
+        return out, (splats_t, tables, out)
+
+    def comp_bwd(res, g):
+        splats_t, tables, out = res
+        owner, inbase, ccount, openidx, openseq = tables
+        meta = jnp.concatenate([out, g[:num_tiles]], axis=1)
+        dsplats = s_bwd(
+            owner, inbase, ccount, openidx, openseq,
+            _pad_stream(splats_t, kp_padded), meta
+        )[:, :Kp]
         zi_t = np.zeros((num_tiles,), jax.dtypes.float0)
         return (dsplats, zi_t, zi_t)
 

@@ -100,20 +100,24 @@ def compute_cov2d(
 
     # Sigma_cam = W Sigma W^T with W the world->view rotation.  The reference's
     # T = W*J / cov = T^T Vrk^T T (forward.cu:94-106) reduces to the same.
-    Wr = viewmatrix[:3, :3].T  # math rotation: row-major world->view
+    # Expanded to (P,) scalar arithmetic: a (P, 3, 3) einsum materializes
+    # padded tiled layouts on TPU (minor dims of 3) at ~50x roofline traffic.
     xx, xy, xz, yy, yz, zz = (cov3d[:, i] for i in range(6))
-    sigma = jnp.stack(
+    sg = ((xx, xy, xz), (xy, yy, yz), (xz, yz, zz))
+    # Wr[i, j] = viewmatrix[j, i] (row-vector convention), a traced scalar.
+    tmp = [
         [
-            jnp.stack([xx, xy, xz], axis=-1),
-            jnp.stack([xy, yy, yz], axis=-1),
-            jnp.stack([xz, yz, zz], axis=-1),
-        ],
-        axis=-2,
-    )  # (P, 3, 3)
-    sigma_cam = jnp.einsum("ij,pjk,lk->pil", Wr, sigma, Wr)
+            sum(viewmatrix[j, i] * sg[j][k] for j in range(3))
+            for k in range(3)
+        ]
+        for i in range(3)
+    ]
 
-    s00, s01, s02 = sigma_cam[:, 0, 0], sigma_cam[:, 0, 1], sigma_cam[:, 0, 2]
-    s11, s12, s22 = sigma_cam[:, 1, 1], sigma_cam[:, 1, 2], sigma_cam[:, 2, 2]
+    def scam(i, l):
+        return sum(tmp[i][k] * viewmatrix[k, l] for k in range(3))
+
+    s00, s01, s02 = scam(0, 0), scam(0, 1), scam(0, 2)
+    s11, s12, s22 = scam(1, 1), scam(1, 2), scam(2, 2)
 
     # cov2d = A Sigma_cam A^T, rows of A as above.
     c00 = a00 * (a00 * s00 + a02 * s02) + a02 * (a00 * s02 + a02 * s22) + LOWPASS

@@ -122,6 +122,18 @@ def rasterize_arrays(
         from .pallas.stream_composite import make_stream_composite
 
         comp = make_stream_composite(stream_chunks=cfg.stream_chunks, **common)
+    elif cfg.composite_mode == "section":
+        from .pallas.section_composite import make_section_composite
+
+        comp = make_section_composite(
+            stream_chunks=cfg.stream_chunks, sections=cfg.sections, **common
+        )
+    elif cfg.composite_mode == "mixed":
+        from .pallas.stream_composite import make_mixed_composite
+
+        comp = make_mixed_composite(
+            tile_batch=cfg.tile_batch, stream_chunks=cfg.stream_chunks, **common
+        )
     else:
         comp = make_tile_composite(tile_batch=cfg.tile_batch, **common)
     out_tiles = comp(

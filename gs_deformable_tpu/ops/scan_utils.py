@@ -1,0 +1,91 @@
+"""Fast scans for TPU: blocked cumsum/cummax without XLA's reduce-window scan.
+
+XLA lowers 1-D cumulative ops on TPU to a sequence of strided passes that
+measure milliseconds even at 10^5 elements (profiled on v5e — see
+tools/profile_binning.py).  A blocked formulation is far faster:
+
+- cumsum: reshape to (rows, 128); the within-row inclusive scan is one
+  (rows,128)@(128,128) upper-triangular matmul on the MXU; row offsets come
+  from recursing on the per-row totals.  int32 values are carried in fp32
+  (exact up to 2^24; binning counts are << that).
+- cummax: log2(128) masked lane shifts within rows + a recursive row-carry
+  pass; max has no matmul form but the shift passes are plain VPU work.
+
+Used by the binning pipeline (ops/binning.py) where the instance expansion
+and chunk layout need prefix sums over 10^5-10^6 elements per frame.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LANES = 128
+
+
+@functools.lru_cache(maxsize=None)
+def _triu_ones_np(n: int):
+    # numpy, not jnp: caching a traced array under lru_cache leaks tracers.
+    return np.triu(np.ones((n, n), np.float32))
+
+
+def _triu_ones(n: int):
+    return jnp.asarray(_triu_ones_np(n))
+
+
+def _pad_to(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    n = x.shape[0]
+    pad = (-n) % m
+    if pad:
+        x = jnp.pad(x, (0, pad))
+    return x
+
+
+def cumsum_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum of a 1-D array via blocked MXU matmuls (fp32 accum)."""
+    n = x.shape[0]
+    if n <= _LANES:
+        xp = _pad_to(x.astype(jnp.float32), _LANES)
+        out = (xp[None, :] @ _triu_ones(_LANES))[0]
+        return out[:n]
+    xp = _pad_to(x.astype(jnp.float32), _LANES)
+    rows = xp.shape[0] // _LANES
+    m = xp.reshape(rows, _LANES)
+    within = jnp.dot(m, _triu_ones(_LANES), preferred_element_type=jnp.float32)
+    totals = within[:, -1]
+    carry = cumsum_f32(totals) - totals  # exclusive row offsets
+    out = within + carry[:, None]
+    return out.reshape(-1)[:n]
+
+
+def cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact int32 inclusive cumsum (values must keep the total < 2^24)."""
+    return cumsum_f32(x).astype(jnp.int32)
+
+
+def cummax_i32(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cummax of a 1-D int32 array via blocked lane shifts."""
+    n = x.shape[0]
+    neg = jnp.iinfo(jnp.int32).min
+    xp = _pad_to(x, _LANES)
+    if xp.shape[0] == n == _LANES:
+        pass
+    rows = xp.shape[0] // _LANES
+    m = xp.reshape(rows, _LANES)
+    if n % _LANES:
+        mask = jnp.arange(xp.shape[0], dtype=jnp.int32).reshape(rows, _LANES) < n
+        m = jnp.where(mask, m, neg)
+    shift = 1
+    while shift < _LANES:
+        sh = jnp.pad(m, ((0, 0), (shift, 0)), constant_values=neg)[:, :_LANES]
+        m = jnp.maximum(m, sh)
+        shift *= 2
+    totals = m[:, -1]
+    if rows > 1:
+        carry_in = cummax_i32(totals)
+        carry = jnp.concatenate([jnp.full((1,), neg, jnp.int32), carry_in[:-1]])
+        m = jnp.maximum(m, carry[:, None])
+    return m.reshape(-1)[:n]

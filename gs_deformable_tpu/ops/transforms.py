@@ -73,19 +73,23 @@ def build_cov3d(
     Args: scaling (..., 3) positive scales; rotation (..., 4) quats.
     Returns: (..., 6) packed [xx, xy, xz, yy, yz, zz] (forward.cu:146-151).
     """
-    R = quat_to_rotmat(rotation)
+    # Expanded to scalar (batched 1-D) arithmetic: materializing (P, 3, 3)
+    # intermediates forces padded tiled layouts on TPU (minor dims of 3) and
+    # costs ~50x the roofline traffic; the expansion fuses into one pass.
+    r, x, y, z = (rotation[..., i] for i in range(4))
+    R = (
+        (1.0 - 2.0 * (y * y + z * z), 2.0 * (x * y - r * z), 2.0 * (x * z + r * y)),
+        (2.0 * (x * y + r * z), 1.0 - 2.0 * (x * x + z * z), 2.0 * (y * z - r * x)),
+        (2.0 * (x * z - r * y), 2.0 * (y * z + r * x), 1.0 - 2.0 * (x * x + y * y)),
+    )
     s = scale_modifier * scaling
-    L = R * s[..., None, :]  # R @ diag(s)
-    sigma = L @ jnp.swapaxes(L, -1, -2)
+    L = [[R[a][j] * s[..., j] for j in range(3)] for a in range(3)]
+
+    def sig(a, b):
+        return L[a][0] * L[b][0] + L[a][1] * L[b][1] + L[a][2] * L[b][2]
+
     return jnp.stack(
-        [
-            sigma[..., 0, 0],
-            sigma[..., 0, 1],
-            sigma[..., 0, 2],
-            sigma[..., 1, 1],
-            sigma[..., 1, 2],
-            sigma[..., 2, 2],
-        ],
+        [sig(0, 0), sig(0, 1), sig(0, 2), sig(1, 1), sig(1, 2), sig(2, 2)],
         axis=-1,
     )
 

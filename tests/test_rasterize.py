@@ -195,7 +195,12 @@ def test_stream_matches_batch_composite(rng):
     bg = jnp.asarray([0.25, 0.5, 0.75])
     wimg = jnp.asarray(rng.normal(size=(3, H, W)), jnp.float32)
     outs = {}
-    for mode, extra in [("batch", {}), ("stream", {"stream_chunks": 3})]:
+    for mode, extra in [
+        ("batch", {}),
+        ("stream", {"stream_chunks": 3}),
+        ("mixed", {"stream_chunks": 3}),
+        ("section", {"stream_chunks": 3, "sections": 4}),
+    ]:
         cfg = dataclasses.replace(CFG, composite_mode=mode, **extra)
 
         def loss(op, col):
@@ -210,13 +215,75 @@ def test_stream_matches_batch_composite(rng):
         outs[mode] = (aux, grads)
 
     (img_b, ft_b, nc_b), g_b = outs["batch"]
-    (img_s, ft_s, nc_s), g_s = outs["stream"]
+    for mode in ["stream", "mixed", "section"]:
+        (img_s, ft_s, nc_s), g_s = outs[mode]
+        np.testing.assert_array_equal(np.asarray(nc_s), np.asarray(nc_b))
+        np.testing.assert_allclose(
+            np.asarray(img_s), np.asarray(img_b), atol=1e-7, err_msg=mode)
+        np.testing.assert_allclose(
+            np.asarray(ft_s), np.asarray(ft_b), atol=1e-7, err_msg=mode)
+        for name, a, b in zip(["opacity", "colors"], g_b, g_s):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-7,
+                err_msg=f"{mode}:{name}")
+
+
+def test_section_composite_edge_cases(rng):
+    """Section schedule under imbalance: a dominant tile (most instances in
+    one tile), more sections than non-empty tiles, and an empty scene."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, composite_mode="section",
+                              stream_chunks=2, sections=6)
+    cfg_ref = CFG  # batch
+
+    # dominant tile: cluster most gaussians into one small screen region
+    n = 150
+    fovx, fovy = 0.9, 0.7
+    view = np.eye(4, dtype=np.float32)
+    projm = tf.projection_matrix(0.01, 100.0, fovx, fovy)
+    means = np.stack(
+        [np.concatenate([rng.uniform(-0.05, 0.05, n - 10), rng.uniform(-1.5, 1.5, 10)]),
+         np.concatenate([rng.uniform(-0.05, 0.05, n - 10), rng.uniform(-0.9, 0.9, 10)]),
+         rng.uniform(2.5, 9.0, n)], -1).astype(np.float32)
+    q = rng.normal(size=(n, 4)); q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    s = np.exp(rng.normal(size=(n, 3)) * 0.5 - 2.6).astype(np.float32)
+    cov6 = tf.build_cov3d(jnp.asarray(s), jnp.asarray(q, jnp.float32))
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.2, 0.9, n), jnp.float32)
+    pre = proj.preprocess(
+        jnp.asarray(means), cov6, jnp.asarray(view), jnp.asarray(view @ projm),
+        width=W, height=H, tan_fovx=np.tan(fovx / 2), tan_fovy=np.tan(fovy / 2),
+    )
+    bg = jnp.asarray([0.3, 0.1, 0.6])
+    wimg = jnp.asarray(rng.normal(size=(3, H, W)), jnp.float32)
+
+    def loss(c, op, col):
+        img, ft, nc, _ = rasterize_arrays(
+            pre.means2d_pix, pre.depths, pre.conics, op, col,
+            pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=c,
+        )
+        return jnp.sum(img * wimg), (img, nc)
+
+    (l_s, (img_s, nc_s)), g_s = jax.value_and_grad(
+        lambda op, col: loss(cfg, op, col), argnums=(0, 1), has_aux=True
+    )(opac, colors)
+    (l_b, (img_b, nc_b)), g_b = jax.value_and_grad(
+        lambda op, col: loss(cfg_ref, op, col), argnums=(0, 1), has_aux=True
+    )(opac, colors)
     np.testing.assert_array_equal(np.asarray(nc_s), np.asarray(nc_b))
     np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_b), atol=1e-7)
-    np.testing.assert_allclose(np.asarray(ft_s), np.asarray(ft_b), atol=1e-7)
-    for name, a, b in zip(["opacity", "colors"], g_b, g_s):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=1e-7, err_msg=name)
+    for a, b in zip(g_s, g_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    # empty scene through the section path
+    img, ft, nc, req = rasterize_arrays(
+        pre.means2d_pix, pre.depths, pre.conics, opac, colors,
+        pre.rect, jnp.zeros_like(pre.tiles_touched), bg,
+        width=W, height=H, cfg=cfg,
+    )
+    assert int(req) == 0
+    np.testing.assert_allclose(np.asarray(ft), 1.0)
 
 
 def test_tile32_matches_dense(rng):
