@@ -104,6 +104,11 @@ class RasterizeConfig:
     stream_chunks: int = 8
     # Independent stream sections of the section kernel.
     sections: int = 8
+    # Budget (rows) for the chunk-aligned layout's total per-tile padding;
+    # -1 = exact worst case (num_tiles*chunk).  A tighter budget shrinks all
+    # Kp-proportional costs; overflow is surfaced via required_aligned (the
+    # training loop grows it like instance_capacity).
+    aligned_slack: int = -1
     # Sort strategy for the [tile|depth] keys. "exact" = two-key stable sort
     # (bit-for-bit the CUB radix order). "packed" = single uint32 key with the
     # tile id in the top 13 bits and the top 19 float bits of depth below —

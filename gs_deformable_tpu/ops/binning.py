@@ -57,9 +57,24 @@ class Binning(NamedTuple):
     total_aligned: jnp.ndarray  # () int32 — rows in use incl. padding (<= Kp)
 
 
-def aligned_capacity(capacity: int, num_tiles: int, chunk: int) -> int:
-    """Static padded capacity: every tile can waste < chunk rows."""
-    return ((capacity + chunk - 1) // chunk) * chunk + num_tiles * chunk
+def aligned_capacity(
+    capacity: int, num_tiles: int, chunk: int, slack: int = -1
+) -> int:
+    """Static padded capacity for the chunk-aligned layout.
+
+    ``slack`` bounds the total per-tile padding (each non-empty tile wastes
+    < chunk rows in its final chunk).  -1 = the exact worst case
+    (num_tiles*chunk, every tile padded) — never overflows but typically ~2x
+    oversized; a tighter budget shrinks every Kp-proportional cost (relayout
+    scatter, splat gather + its transpose, kernel sentinel sweep).  With a
+    finite budget the layout can overflow; Binning.total_aligned surfaces the
+    true need so callers can grow (never a silent drop without a counter).
+    """
+    base = ((capacity + chunk - 1) // chunk) * chunk
+    if slack < 0:
+        slack = num_tiles * chunk
+    slack = ((slack + chunk - 1) // chunk) * chunk
+    return base + slack
 
 
 def take_searchsorted(sorted_arr: jnp.ndarray, queries: jnp.ndarray):
@@ -83,31 +98,55 @@ def take_searchsorted(sorted_arr: jnp.ndarray, queries: jnp.ndarray):
     return lo
 
 
-def _delta_fills(values_list, active, positions, K: int):
+def _delta_fills(values_list, active, positions, K: int, widths=None):
     """Segment-fill (K,) arrays with per-segment constants via delta cumsum.
 
-    Each ``values_list[i]`` is an (N,)-sized array of NON-DECREASING values
-    over the segments whose start positions are ``positions`` (active segments
-    selected by ``active``).  A monotone segment fill telescopes: scatter each
-    segment's delta vs. the previous active segment at its start position and
-    take one MXU-blocked cumsum — O(small) scatters + one fast scan per fill,
-    instead of a cummax (whose TPU lowering via lane shifts is ~10x slower).
-    Positions before the first active segment fill with 0.
+    Each ``values_list[i]`` is an (N,)-sized array of per-segment values; the
+    segments start at ``positions`` (active segments selected by ``active``).
+    The fill telescopes: scatter each segment's delta vs. the previous active
+    segment at its start position and take one MXU-blocked cumsum.  Scatters
+    are ~10x cheaper than gathers on TPU (XLA gathers run at ~140M elements/s
+    — tools/profile_bin3.py), so this replaces every "value[owner]" gather
+    whose value is constant per segment.
+
+    The blocked cumsum accumulates in fp32, which is exact only while every
+    partial delta sum stays under 2^24 in magnitude; any prefix of deltas
+    telescopes to (some value) - (some earlier value), so non-negative values
+    below 2^22 are exact directly.  ``widths[i]`` declares the bit width of
+    values_list[i]: entries <= 22 fill directly, wider ones (up to 31 bits)
+    split into a >>15 half and a 15-bit half, filled separately and
+    recombined.  Positions before the first active segment fill with 0.
     """
     n = active.shape[0]
     arank = cumsum_i32(active.astype(jnp.int32)) - 1
     slot = jnp.where(active, arank, n)
-    prev_idx = jnp.maximum(arank - 1, 0)
-    scatter_pos = jnp.where(active, positions, K)
-    fills = []
-    for vals in values_list:
+    # Compacted segment-start positions (inactive tail slots scatter to K and
+    # drop).  Deltas are formed in compact space with a shift — gathers are
+    # ~10x costlier than scatters on TPU, so no vals[prev] lookup.
+    pos_compact = jnp.full((n,), K, jnp.int32).at[slot].set(
+        positions, mode="drop"
+    )
+    if widths is None:
+        widths = [22] * len(values_list)
+
+    def one_fill(vals):
         compact = jnp.zeros((n,), jnp.int32).at[slot].set(vals, mode="drop")
-        prev = jnp.where(arank > 0, jnp.take(compact, prev_idx), 0)
-        delta = jnp.where(active, vals - prev, 0)
-        seg = jnp.zeros((K,), jnp.int32).at[scatter_pos].set(
+        prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), compact[:-1]])
+        delta = compact - prev
+        seg = jnp.zeros((K,), jnp.int32).at[pos_compact].set(
             delta, mode="drop"
         )
-        fills.append(cumsum_i32(seg))
+        return cumsum_i32(seg)
+
+    fills = []
+    for vals, wbits in zip(values_list, widths):
+        if wbits <= 22:
+            fills.append(one_fill(vals))
+        else:
+            assert wbits <= 31, "split fill supports < 2^31"
+            hi = one_fill(vals >> 15)
+            lo = one_fill(vals & 0x7FFF)
+            fills.append((hi << 15) | lo)
     return fills
 
 
@@ -121,6 +160,7 @@ def bin_gaussians(
     capacity: int,
     chunk: int,
     sort_mode: str = "exact",
+    aligned_slack: int = -1,
 ) -> Binning:
     """Expand each visible gaussian into one instance per touched tile, sort by
     (tile, depth), and lay the result out chunk-aligned per tile.
@@ -134,7 +174,7 @@ def bin_gaussians(
     P = tiles_touched.shape[0]
     K = capacity
     num_tiles = grid_x * grid_y
-    Kp = aligned_capacity(K, num_tiles, chunk)
+    Kp = aligned_capacity(K, num_tiles, chunk, aligned_slack)
 
     t = tiles_touched.astype(jnp.int32)
     cum = cumsum_i32(t)  # inclusive prefix sum (MXU-blocked)
@@ -143,23 +183,27 @@ def bin_gaussians(
 
     # --- segmented expansion -------------------------------------------
     # Emitting gaussians (t > 0) each own the contiguous instance segment
-    # [offsets, offsets + t).  Both the owner id and the segment start
-    # position are non-decreasing across segments, so delta-cumsum fills
-    # reconstruct ownership exactly (jnp.repeat semantics) without the
-    # searchsorted lowering jnp.repeat uses.
+    # [offsets, offsets + t).  Every per-instance quantity needed for the
+    # keys is constant within a segment, so ALL of them come from delta-
+    # cumsum fills — zero K-sized gathers (a 1M-element XLA gather costs
+    # ~7.5ms on v5e; six fills cost ~1ms total).  The rect is packed as
+    # x0/y0/width in 10 bits each (grids up to 1023x1023 tiles = 16k x 16k
+    # pixels); the depth's positive-float bits are order-preserving as int.
     ids = jnp.arange(P, dtype=jnp.int32)
-    safe_gid, offs = _delta_fills([ids, offsets], t > 0, offsets, K)
+    w_t = jnp.maximum(rect[:, 2] - rect[:, 0], 1)
+    code = (rect[:, 0] << 20) | (rect[:, 1] << 10) | w_t
+    dbits = depths.view(jnp.int32)
+    safe_gid, offs, ic, idb = _delta_fills(
+        [ids, offsets, code, dbits],
+        t > 0,
+        offsets,
+        K,
+        widths=[22, 22, 30, 31],
+    )
     pos = jnp.arange(K, dtype=jnp.int32)
     valid = pos < jnp.minimum(required, K)
     rank = pos - offs
 
-    # Per-gaussian rect code: x0/y0/width in 10 bits each (grids up to
-    # 1023x1023 tiles = 16k x 16k pixels).  One int32 gather + one depth
-    # gather are the only K-sized gathers before the sort.
-    w_t = jnp.maximum(rect[:, 2] - rect[:, 0], 1)
-    code = (rect[:, 0] << 20) | (rect[:, 1] << 10) | w_t
-    safe_gid, offs, code = jax.lax.optimization_barrier((safe_gid, offs, code))
-    ic = code[safe_gid]
     iw = ic & 0x3FF
     iy0 = (ic >> 10) & 0x3FF
     ix0 = ic >> 20
@@ -167,7 +211,9 @@ def bin_gaussians(
     tx = ix0 + rank % iw
     ty = iy0 + rank // iw
     tile_id = jnp.where(valid, ty * grid_x + tx, num_tiles).astype(jnp.int32)
-    depth_key = jnp.where(valid, depths[safe_gid], jnp.inf).astype(jnp.float32)
+    depth_key = jnp.where(
+        valid, idb.view(jnp.float32), jnp.inf
+    ).astype(jnp.float32)
     tile_id, depth_key = jax.lax.optimization_barrier((tile_id, depth_key))
 
     if sort_mode == "packed":

@@ -314,24 +314,34 @@ def _stream_backward_kernel(
 
 def _chunk_tables(tile_chunk_start, tile_count, *, chunk: int, c_padded: int):
     """XLA-side scalar-prefetch tables: per-chunk-slot owner / in-tile base /
-    tile count, plus the tile-open sequence for the backward's meta ring."""
+    tile count, plus the tile-open sequence for the backward's meta ring.
+
+    Built from delta-cumsum segment fills (ops/binning._delta_fills) — the
+    owner, chunk base, and count are per-tile constants over each tile's
+    chunk range, so no repeat/gather lowering is needed.
+    """
+    from ..binning import _delta_fills
+    from ..scan_utils import cumsum_i32
+
     T = tile_count.shape[0]
     cpt = (tile_count + chunk - 1) // chunk  # chunks per tile
     total_chunks = tile_chunk_start[-1] + cpt[-1]
     slot = jnp.arange(c_padded, dtype=jnp.int32)
-    owner_raw = jnp.repeat(
-        jnp.arange(T, dtype=jnp.int32), cpt, total_repeat_length=c_padded
+    active = cpt > 0
+    owner_f, cs_f, cnt_f = _delta_fills(
+        [jnp.arange(T, dtype=jnp.int32), tile_chunk_start, tile_count],
+        active,
+        tile_chunk_start,
+        c_padded,
+        widths=[22, 22, 22],
     )
     valid = slot < total_chunks
-    owner = jnp.where(valid, owner_raw, T).astype(jnp.int32)
-    safe_owner = jnp.minimum(owner_raw, T - 1)
-    inbase = jnp.where(
-        valid, (slot - tile_chunk_start[safe_owner]) * chunk, 0
-    ).astype(jnp.int32)
-    ccount = jnp.where(valid, tile_count[safe_owner], 0).astype(jnp.int32)
+    owner = jnp.where(valid, owner_f, T).astype(jnp.int32)
+    inbase = jnp.where(valid, (slot - cs_f) * chunk, 0).astype(jnp.int32)
+    ccount = jnp.where(valid, cnt_f, 0).astype(jnp.int32)
 
     is_open = valid & (inbase == 0)
-    openidx = (jnp.cumsum(is_open.astype(jnp.int32)) - 1).astype(jnp.int32)
+    openidx = cumsum_i32(is_open.astype(jnp.int32)) - 1
     openidx = jnp.maximum(openidx, 0)
     # open_seq[k] = tile id of the k-th open; sentinel-padded (ring lookahead
     # reads up to `lookahead` past the final open).

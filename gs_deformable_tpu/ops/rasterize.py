@@ -44,6 +44,7 @@ class RenderOut(NamedTuple):
     means2d_ndc: jnp.ndarray  # (P, 2) — for densification stats via vjp
     visibility: jnp.ndarray  # (P,) bool (radii > 0)
     required_instances: jnp.ndarray  # () int32: needed capacity (overflow if > K)
+    required_aligned: jnp.ndarray  # () int32: aligned rows needed (vs static Kp)
 
 
 def _use_interpret() -> bool:
@@ -67,7 +68,10 @@ def rasterize_arrays(
 ):
     """Composite screen-space gaussians to an image (differentiable).
 
-    Returns (image (3,H,W), final_t (H,W), n_contrib (H,W), required int32).
+    Returns (image (3,H,W), final_t (H,W), n_contrib (H,W), required int32,
+    total_aligned int32).  Overflow: required > cfg.instance_capacity means
+    instances were dropped from emission order; total_aligned > the static
+    aligned capacity means the padding slack was exceeded (cfg.aligned_slack).
     """
     grid_x = (width + cfg.tile_x - 1) // cfg.tile_x
     grid_y = (height + cfg.tile_y - 1) // cfg.tile_y
@@ -83,6 +87,7 @@ def rasterize_arrays(
         capacity=cfg.instance_capacity,
         chunk=cfg.chunk,
         sort_mode=cfg.sort_mode,
+        aligned_slack=cfg.aligned_slack,
     )
 
     P = means2d_pix.shape[0]
@@ -105,7 +110,9 @@ def rasterize_arrays(
     sorted_splats = jax.lax.optimization_barrier(splats[binning.gid])
     sorted_splats_t = jax.lax.optimization_barrier(sorted_splats.T)
 
-    Kp = aligned_capacity(cfg.instance_capacity, grid_x * grid_y, cfg.chunk)
+    Kp = aligned_capacity(
+        cfg.instance_capacity, grid_x * grid_y, cfg.chunk, cfg.aligned_slack
+    )
     common = dict(
         grid_x=grid_x,
         grid_y=grid_y,
@@ -155,7 +162,7 @@ def rasterize_arrays(
         jax.lax.stop_gradient(out_tiles[:, 4:5, :])
     )[0].astype(jnp.int32)
     image = color + final_t[None] * bg[:, None, None]
-    return image, final_t, n_contrib, binning.required
+    return image, final_t, n_contrib, binning.required, binning.total_aligned
 
 
 def render_gaussians(
@@ -217,7 +224,7 @@ def render_gaussians(
         sh_degree, shs, means3d, campos
     )
     op = opacities[:, 0] if opacities.ndim == 2 else opacities
-    image, final_t, n_contrib, required = rasterize_arrays(
+    image, final_t, n_contrib, required, total_aligned = rasterize_arrays(
         pix,
         pre.depths,
         pre.conics,
@@ -239,4 +246,5 @@ def render_gaussians(
         means2d_ndc=ndc,
         visibility=pre.radii > 0,
         required_instances=required,
+        required_aligned=total_aligned,
     )

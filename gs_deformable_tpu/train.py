@@ -80,6 +80,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--capacity", type=int, default=0, help="0 = auto (2x init points)")
     # Start snug and auto-grow on overflow (sort/binning cost scales with this).
     p.add_argument("--instance_capacity", type=int, default=1 << 19)
+    # Padding budget of the chunk-aligned layout; -1 = exact worst case.
+    # Auto-grows on overflow like instance_capacity.
+    p.add_argument("--aligned_slack", type=int, default=-1)
     p.add_argument("--chunk", type=int, default=RasterizeConfig().chunk)
     p.add_argument("--warmup_iters", type=int, default=DeformConfig().warmup_iters)
     # schedule / io
@@ -127,7 +130,8 @@ def config_from_args(args) -> Config:
             compute_cov3d_python=args.compute_cov3D_python,
         ),
         raster=RasterizeConfig(
-            instance_capacity=args.instance_capacity, chunk=args.chunk
+            instance_capacity=args.instance_capacity, chunk=args.chunk,
+            aligned_slack=args.aligned_slack
         ),
         opt=OptimizationConfig(
             iterations=args.iterations,
@@ -440,19 +444,36 @@ def train(args) -> str:
             loss = float(metrics["loss"])
             ema_loss = 0.4 * loss + 0.6 * ema_loss
             req = int(metrics["required_instances"])
-            if req > cfg.raster.instance_capacity:
+            req_al = int(metrics["required_aligned"])
+            from gs_deformable_tpu.ops.binning import aligned_capacity as _acap
+
+            grid_x = (cam.width + cfg.raster.tile_x - 1) // cfg.raster.tile_x
+            grid_y = (cam.height + cfg.raster.tile_y - 1) // cfg.raster.tile_y
+            kp_now = _acap(cfg.raster.instance_capacity, grid_x * grid_y,
+                           cfg.raster.chunk, cfg.raster.aligned_slack)
+            if req > cfg.raster.instance_capacity or req_al > kp_now:
                 # The CUDA reference reallocates its instance list per frame
                 # (rasterizer_impl.cu:70-111); the TPU equivalent is a re-jit
-                # at the next power-of-two bucket.
+                # at the next power-of-two bucket.  Either the raw instance
+                # capacity or the aligned-layout slack can overflow.
                 new_cap = cfg.raster.instance_capacity
                 while new_cap < req:
                     new_cap *= 2
+                new_slack = cfg.raster.aligned_slack
+                if req_al > kp_now and new_slack >= 0:
+                    deficit = req_al - ((new_cap + cfg.raster.chunk - 1)
+                                        // cfg.raster.chunk) * cfg.raster.chunk
+                    new_slack = max(new_slack, cfg.raster.chunk)
+                    while new_slack < deficit:
+                        new_slack *= 2
                 print(f"\n[iter {iteration}] instance overflow (required {req} "
-                      f"> {cfg.raster.instance_capacity}); growing to {new_cap}")
+                      f"> {cfg.raster.instance_capacity} or aligned {req_al} "
+                      f"> {kp_now}); growing to {new_cap}/slack {new_slack}")
                 import dataclasses as _dc
 
                 cfg = cfg.replace(
-                    raster=_dc.replace(cfg.raster, instance_capacity=new_cap)
+                    raster=_dc.replace(cfg.raster, instance_capacity=new_cap,
+                                       aligned_slack=new_slack)
                 )
                 trainer.cfg = cfg
                 trainer._step_cache.clear()

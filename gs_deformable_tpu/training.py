@@ -161,6 +161,7 @@ def make_train_step(
                 "radii": out.radii,
                 "visibility": out.visibility,
                 "required": out.required_instances,
+                "required_aligned": out.required_aligned,
             }
             return loss, aux
 
@@ -199,6 +200,7 @@ def make_train_step(
             "psnr": aux["psnr"],
             "offset_norm": aux["offset_norm"],
             "required_instances": aux["required"],
+            "required_aligned": aux["required_aligned"],
             "n_alive": gstate.num_alive,
         }
         new_ts = ts.replace(gaussians=gstate, deform=new_deform, adam=new_adam)

@@ -51,7 +51,7 @@ def test_tiled_matches_golden(rng):
     g = np.load(GOLDEN)
     pre, opac, colors, _ = make_scene(rng, n=200)
     bg = jnp.asarray([0.15, 0.3, 0.45])
-    img, final_t, n_contrib, _ = rasterize_arrays(
+    img, final_t, n_contrib, _, _ = rasterize_arrays(
         pre.means2d_pix, pre.depths, pre.conics, opac, colors,
         pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=CFG,
     )

@@ -53,7 +53,7 @@ def test_forward_matches_dense(rng, ties):
         pre.means2d_pix, pre.depths, pre.conics, opac, colors,
         pre.rect, pre.mask, bg, width=W, height=H,
     )
-    img, final_t, n_contrib, required = rasterize_arrays(
+    img, final_t, n_contrib, required, _ = rasterize_arrays(
         pre.means2d_pix, pre.depths, pre.conics, opac, colors,
         pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=CFG,
     )
@@ -76,7 +76,7 @@ def test_gradients_match_dense(rng):
         return jnp.sum(out.color * wimg) + jnp.sum(out.final_t * wt)
 
     def loss_tiled(p2d, con, op, col):
-        img, final_t, _, _ = rasterize_arrays(
+        img, final_t, _, _, _ = rasterize_arrays(
             p2d, pre.depths, con, op, col, pre.rect, pre.tiles_touched, bg,
             width=W, height=H, cfg=CFG,
         )
@@ -123,7 +123,7 @@ def test_full_render_gradients_finite_and_match_dense_path(rng):
                 width=W, height=H,
             )
             return jnp.sum(out.color * wimg)
-        img, _, _, _ = rasterize_arrays(
+        img, _, _, _, _ = rasterize_arrays(
             p.means2d_pix, p.depths, p.conics, op, col, p.rect, p.tiles_touched, bg,
             width=W, height=H, cfg=CFG,
         )
@@ -142,7 +142,7 @@ def test_full_render_gradients_finite_and_match_dense_path(rng):
 def test_overflow_surfaced(rng):
     pre, opac, colors, _ = make_scene(rng, n=200)
     small = RasterizeConfig(instance_capacity=256, chunk=8)
-    img, final_t, _, required = rasterize_arrays(
+    img, final_t, _, required, _ = rasterize_arrays(
         pre.means2d_pix, pre.depths, pre.conics, opac, colors,
         pre.rect, pre.tiles_touched, jnp.zeros(3), width=W, height=H, cfg=small,
     )
@@ -155,7 +155,7 @@ def test_empty_scene(rng):
     pre, opac, colors, _ = make_scene(rng, n=n)
     zero_tiles = jnp.zeros_like(pre.tiles_touched)
     bg = jnp.asarray([0.3, 0.6, 0.9])
-    img, final_t, n_contrib, required = rasterize_arrays(
+    img, final_t, n_contrib, required, _ = rasterize_arrays(
         pre.means2d_pix, pre.depths, pre.conics, opac, colors,
         pre.rect, zero_tiles, bg, width=W, height=H, cfg=CFG,
     )
@@ -172,13 +172,13 @@ def test_packed_sort_matches_exact(rng):
     documented sub-0.1%-depth tie reordering (none in a generic scene)."""
     pre, opac, colors, _ = make_scene(rng, n=150)
     bg = jnp.asarray([0.2, 0.2, 0.2])
-    img_e, ft_e, _, _ = rasterize_arrays(
+    img_e, ft_e, _, _, _ = rasterize_arrays(
         pre.means2d_pix, pre.depths, pre.conics, opac, colors,
         pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=CFG,
     )
     import dataclasses
     cfg_p = dataclasses.replace(CFG, sort_mode="packed")
-    img_p, ft_p, _, _ = rasterize_arrays(
+    img_p, ft_p, _, _, _ = rasterize_arrays(
         pre.means2d_pix, pre.depths, pre.conics, opac, colors,
         pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=cfg_p,
     )
@@ -204,7 +204,7 @@ def test_stream_matches_batch_composite(rng):
         cfg = dataclasses.replace(CFG, composite_mode=mode, **extra)
 
         def loss(op, col):
-            img, ft, nc, req = rasterize_arrays(
+            img, ft, nc, req, _ = rasterize_arrays(
                 pre.means2d_pix, pre.depths, pre.conics, op, col,
                 pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=cfg,
             )
@@ -259,7 +259,7 @@ def test_section_composite_edge_cases(rng):
     wimg = jnp.asarray(rng.normal(size=(3, H, W)), jnp.float32)
 
     def loss(c, op, col):
-        img, ft, nc, _ = rasterize_arrays(
+        img, ft, nc, _, _ = rasterize_arrays(
             pre.means2d_pix, pre.depths, pre.conics, op, col,
             pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=c,
         )
@@ -277,7 +277,7 @@ def test_section_composite_edge_cases(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
     # empty scene through the section path
-    img, ft, nc, req = rasterize_arrays(
+    img, ft, nc, req, _ = rasterize_arrays(
         pre.means2d_pix, pre.depths, pre.conics, opac, colors,
         pre.rect, jnp.zeros_like(pre.tiles_touched), bg,
         width=W, height=H, cfg=cfg,
@@ -327,7 +327,7 @@ def test_tile32_matches_dense(rng):
     from gs_deformable_tpu.ops.rasterize_dense import rasterize_dense as rd
     dense = rd(p.means2d_pix, p.depths, p.conics, opac, colors, p.rect, p.mask,
                bg, width=W, height=H, params=CompositeParams(tile_x=32, tile_y=32))
-    img, ft, nc, req = rasterize_arrays(
+    img, ft, nc, req, _ = rasterize_arrays(
         p.means2d_pix, p.depths, p.conics, opac, colors, p.rect,
         p.tiles_touched, bg, width=W, height=H, cfg=cfg32,
     )
@@ -344,7 +344,7 @@ def test_gradients_match_finite_differences(rng):
     wimg = jnp.asarray(rng.normal(size=(3, H, W)), jnp.float32)
 
     def loss(op, col):
-        img, _, _, _ = rasterize_arrays(
+        img, _, _, _, _ = rasterize_arrays(
             pre.means2d_pix, pre.depths, pre.conics, op, col,
             pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=CFG,
         )
@@ -391,7 +391,7 @@ def test_opacity_aware_culling_image_exact(rng):
         )
 
         def loss(op, col):
-            img, ft, nc, req = rasterize_arrays(
+            img, ft, nc, req, _ = rasterize_arrays(
                 pre.means2d_pix, pre.depths, pre.conics, op, col,
                 pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=CFG,
             )
