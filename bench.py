@@ -25,7 +25,7 @@ import time
 import numpy as np
 
 
-def run_at_scale(n, cap, instance_capacity):
+def run_at_scale(n, cap, instance_capacity, aligned_slack=-1):
     import jax
     import jax.numpy as jnp
 
@@ -37,7 +37,8 @@ def run_at_scale(n, cap, instance_capacity):
 
     rng = np.random.default_rng(0)
     cfg = Config(
-        raster=RasterizeConfig(instance_capacity=instance_capacity, chunk=128),
+        raster=RasterizeConfig(instance_capacity=instance_capacity, chunk=128,
+                               aligned_slack=aligned_slack),
     )
 
     pts = np.stack(
@@ -80,17 +81,26 @@ def run_at_scale(n, cap, instance_capacity):
             bg=jnp.zeros(3), width=W, height=H, tan_fovx=tanx, tan_fovy=tany,
             active_sh_degree=3, cfg=cfg,
         )
-        return out.image, out.required_instances
+        return out.image, out.required_instances, out.required_aligned
 
     t0 = time.time()
-    img, req = render_frame(ts.gaussians, ts.deform, cam, jnp.float32(0))
+    img, req, req_al = render_frame(ts.gaussians, ts.deform, cam, jnp.float32(0))
     jax.block_until_ready(img)
     np.asarray(img.ravel()[:1])
     compile_s = time.time() - t0
+    from gs_deformable_tpu.ops.binning import aligned_capacity
+    grid_x, grid_y = (W + 15) // 16, (H + 15) // 16
+    kp = aligned_capacity(
+        cfg.raster.instance_capacity, grid_x * grid_y, cfg.raster.chunk,
+        cfg.raster.aligned_slack)
+    if int(req) > cfg.raster.instance_capacity or int(req_al) > kp:
+        raise RuntimeError(
+            f"capacity overflow at this scale (required {int(req)} / "
+            f"{cfg.raster.instance_capacity}, aligned {int(req_al)} / {kp})")
     iters = 10
     t0 = time.time()
     for i in range(iters):
-        img, req = render_frame(ts.gaussians, ts.deform, cam, jnp.float32(i))
+        img, req, req_al = render_frame(ts.gaussians, ts.deform, cam, jnp.float32(i))
     jax.block_until_ready(img)
     dt = (time.time() - t0) / iters
     np.asarray(img.ravel()[:1])  # tiny fetch: defeat any tunnel laziness
@@ -151,18 +161,23 @@ def main():
     # (gaussians, param capacity, instance capacity): largest-first; the
     # remote-compile AOT path (backend "axon") cannot serialize the 1M-
     # instance sort's executable, so start it at a scale that fits.
+    # (gaussians, param capacity, instance capacity, aligned slack): the
+    # primary scale budgets the instance sort and the chunk-aligned padding
+    # snugly (measured: required ~754k instances, ~640k padding rows at this
+    # scene); the fallbacks stay conservative.
     scales = [
-        (100_000, 131_072, 1 << 20),
-        (40_000, 65_536, 384 * 1024),
-        (20_000, 32_768, 192 * 1024),
+        (100_000, 131_072, 832 * 1024, 736 * 1024),
+        (100_000, 131_072, 1 << 20, -1),
+        (40_000, 65_536, 384 * 1024, -1),
+        (20_000, 32_768, 192 * 1024, -1),
     ]
     if jax.default_backend() == "axon":
         scales = scales[1:]
 
     last_err = None
-    for n, cap, icap in scales:
+    for n, cap, icap, slack in scales:
         try:
-            result = run_at_scale(n, cap, icap)
+            result = run_at_scale(n, cap, icap, slack)
             print(json.dumps(result))
             return
         except Exception as e:

@@ -156,11 +156,12 @@ def rasterize_arrays(
         )
         return x[:, :height, :width]
 
-    color = assemble(out_tiles[:, 0:3, :])
-    final_t = assemble(out_tiles[:, 3:4, :])[0]
-    n_contrib = assemble(
-        jax.lax.stop_gradient(out_tiles[:, 4:5, :])
-    )[0].astype(jnp.int32)
+    # One fused tile->image relayout for all five channels (the transpose is
+    # a real data movement; three separate assembles measured ~1.3ms each).
+    planes = assemble(out_tiles[:, 0:5, :])
+    color = planes[0:3]
+    final_t = planes[3]
+    n_contrib = jax.lax.stop_gradient(planes[4]).astype(jnp.int32)
     image = color + final_t[None] * bg[:, None, None]
     return image, final_t, n_contrib, binning.required, binning.total_aligned
 
