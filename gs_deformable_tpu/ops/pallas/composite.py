@@ -24,6 +24,9 @@ re-design for TPU:
 - The backward recomputes suffix color sums S_g = C_total - P_g from a prefix
   sum (triangular-matmul cumsum on the MXU) instead of the reference's
   back-to-front accum_rec recursion — same math, forward order, one pass.
+  dL/dalpha only ever consumes Sum_c gc_c * S_c, so by linearity ONE combined
+  prefix of gc-weighted colors replaces three per-color prefixes (the
+  backward was MXU-bound on those matmuls).
 
 Field-major splat layout, 16 rows: [x_pix, y_pix, conic_a, conic_b, conic_c,
 opacity, r, g, b, 0...].  Gradient rows mirror it.
@@ -300,7 +303,7 @@ def _backward_kernel(
         issue(0, 0)
 
     def body(i, carry):
-        t_acc, done, p0, p1, p2 = (list(c) for c in carry)
+        t_acc, done, pcs = (list(c) for c in carry)
 
         @pl.when(i + 1 < nchunks)
         def _():
@@ -311,14 +314,21 @@ def _backward_kernel(
         for j in range(tb):
             rows = jnp.transpose(buf[i % 2, :, j])  # (chunk, 16)
             px, py = coords[j]
-            total0 = fwd_ref[j, 0:1, :]
-            total1 = fwd_ref[j, 1:2, :]
-            total2 = fwd_ref[j, 2:3, :]
             t_final = fwd_ref[j, 3:4, :]
             gc0 = g_ref[j, 0:1, :]
             gc1 = g_ref[j, 1:2, :]
             gc2 = g_ref[j, 2:3, :]
             gt = g_ref[j, 3:4, :]
+            # dL/dalpha needs only the gc-weighted color sums: by linearity
+            # one combined prefix replaces the three per-color prefixes
+            # (1 tril matmul per chunk instead of 3 — the backward was
+            # MXU-bound on these).
+            gtotal = (
+                gc0 * fwd_ref[j, 0:1, :]
+                + gc1 * fwd_ref[j, 1:2, :]
+                + gc2 * fwd_ref[j, 2:3, :]
+                + gt * t_final
+            )
 
             a_hat, skip, g_exp, dx, dy, _ = _chunk_geometry(
                 rows, px, py, base, counts[j], alpha_max, alpha_min, chunk
@@ -329,27 +339,20 @@ def _backward_kernel(
             col0 = rows[:, 6:7]
             col1 = rows[:, 7:8]
             col2 = rows[:, 8:9]
+            gcol = gc0 * col0 + gc1 * col1 + gc2 * col2
             wat = a_hat * t_g  # alpha * T
             # where() selections guard stale-buffer NaN (see forward kernel)
-            wc0 = jnp.where(contrib, wat * col0, 0.0)
-            wc1 = jnp.where(contrib, wat * col1, 0.0)
-            wc2 = jnp.where(contrib, wat * col2, 0.0)
-
-            pc0 = p0[j] + jnp.dot(tril, wc0, preferred_element_type=jnp.float32)
-            pc1 = p1[j] + jnp.dot(tril, wc1, preferred_element_type=jnp.float32)
-            pc2 = p2[j] + jnp.dot(tril, wc2, preferred_element_type=jnp.float32)
+            wcomb = jnp.where(contrib, wat * gcol, 0.0)
+            pcc = pcs[j] + jnp.dot(
+                tril, wcomb, preferred_element_type=jnp.float32
+            )
 
             om = 1.0 - a_hat
             inv_om = 1.0 / om
             # dL/dalpha_g (backward.cu:515-534): front-to-back form with
-            # S_g = total - P_g(inclusive).  where() (not a cf multiply) keeps
-            # any stale-buffer NaN out of the masked rows.
-            dalpha = (
-                gc0 * (col0 * t_g - (total0 - pc0) * inv_om)
-                + gc1 * (col1 * t_g - (total1 - pc1) * inv_om)
-                + gc2 * (col2 * t_g - (total2 - pc2) * inv_om)
-                + gt * (-t_final * inv_om)
-            )
+            # S_g = total - P_g(inclusive), gc-combined.  where() (not a cf
+            # multiply) keeps any stale-buffer NaN out of the masked rows.
+            dalpha = gcol * t_g - (gtotal - pcc) * inv_om
             dalpha = jnp.where(contrib, dalpha, 0.0)
             op = rows[:, 5:6]
             g_safe = jnp.where(skip, 0.0, g_exp)
@@ -379,10 +382,8 @@ def _backward_kernel(
                 axis=1,
             )  # (chunk, 16)
             gbuf[:, j] = jnp.transpose(grads)  # (16, chunk)
-            # carry only the chunk-total prefix into the next chunk
-            p0[j] = pc0[chunk - 1 :, :]
-            p1[j] = pc1[chunk - 1 :, :]
-            p2[j] = pc2[chunk - 1 :, :]
+            # carry only the chunk-total combined prefix into the next chunk
+            pcs[j] = pcc[chunk - 1 :, :]
 
         for j in range(tb):
             @pl.when(i < nchunks_t[j])
@@ -394,11 +395,11 @@ def _backward_kernel(
                 )
                 wcp.start()
                 wcp.wait()
-        return (tuple(t_acc), tuple(done), tuple(p0), tuple(p1), tuple(p2))
+        return (tuple(t_acc), tuple(done), tuple(pcs))
 
     ones = tuple(jnp.ones((1, npix), jnp.float32) for _ in range(tb))
     zeros = tuple(jnp.zeros((1, npix), jnp.float32) for _ in range(tb))
-    jax.lax.fori_loop(0, nchunks, body, (ones, zeros, zeros, zeros, zeros))
+    jax.lax.fori_loop(0, nchunks, body, (ones, zeros, zeros))
 
 
 @functools.lru_cache(maxsize=None)

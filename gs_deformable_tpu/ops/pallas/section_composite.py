@@ -326,7 +326,7 @@ def _section_backward_kernel(
                             ring_dma(f, k_local + lookahead, nxt).start()
 
                         state[f, 0:1, :] = jnp.ones((1, npix), jnp.float32)
-                        state[f, 1:5, :] = jnp.zeros((4, npix), jnp.float32)
+                        state[f, 1:3, :] = jnp.zeros((2, npix), jnp.float32)
 
                     saturated = jnp.min(state[f, 1:2, :]) > 0.5
 
@@ -339,14 +339,19 @@ def _section_backward_kernel(
                         px, py = _tile_pixel_coords(
                             owner, grid_x, tile_x, tile_y
                         )
-                        total0 = ring[f, slot, 0:1, :]
-                        total1 = ring[f, slot, 1:2, :]
-                        total2 = ring[f, slot, 2:3, :]
                         t_final = ring[f, slot, 3:4, :]
                         gc0 = ring[f, slot, 8:9, :]
                         gc1 = ring[f, slot, 9:10, :]
                         gc2 = ring[f, slot, 10:11, :]
                         gt = ring[f, slot, 11:12, :]
+                        # combined gc-weighted totals: one prefix replaces
+                        # three (see composite.py backward)
+                        gtotal = (
+                            gc0 * ring[f, slot, 0:1, :]
+                            + gc1 * ring[f, slot, 1:2, :]
+                            + gc2 * ring[f, slot, 2:3, :]
+                            + gt * t_final
+                        )
 
                         a_hat, skip, g_exp, dx, dy, _ = _chunk_geometry(
                             rows, px, py, inbase, cnt,
@@ -359,25 +364,15 @@ def _section_backward_kernel(
                         col0 = rows[:, 6:7]
                         col1 = rows[:, 7:8]
                         col2 = rows[:, 8:9]
+                        gcol = gc0 * col0 + gc1 * col1 + gc2 * col2
                         wat = a_hat * t_g
-                        wc0 = jnp.where(contrib, wat * col0, 0.0)
-                        wc1 = jnp.where(contrib, wat * col1, 0.0)
-                        wc2 = jnp.where(contrib, wat * col2, 0.0)
-                        pc0 = state[f, 2:3, :] + jnp.dot(
-                            tril, wc0, preferred_element_type=jnp.float32)
-                        pc1 = state[f, 3:4, :] + jnp.dot(
-                            tril, wc1, preferred_element_type=jnp.float32)
-                        pc2 = state[f, 4:5, :] + jnp.dot(
-                            tril, wc2, preferred_element_type=jnp.float32)
+                        wcomb = jnp.where(contrib, wat * gcol, 0.0)
+                        pcc = state[f, 2:3, :] + jnp.dot(
+                            tril, wcomb, preferred_element_type=jnp.float32)
 
                         om = 1.0 - a_hat
                         inv_om = 1.0 / om
-                        dalpha = (
-                            gc0 * (col0 * t_g - (total0 - pc0) * inv_om)
-                            + gc1 * (col1 * t_g - (total1 - pc1) * inv_om)
-                            + gc2 * (col2 * t_g - (total2 - pc2) * inv_om)
-                            + gt * (-t_final * inv_om)
-                        )
+                        dalpha = gcol * t_g - (gtotal - pcc) * inv_om
                         dalpha = jnp.where(contrib, dalpha, 0.0)
                         op = rows[:, 5:6]
                         g_safe = jnp.where(skip, 0.0, g_exp)
@@ -412,9 +407,7 @@ def _section_backward_kernel(
                         ] = jnp.transpose(grads)
                         state[f, 0:1, :] = t_out
                         state[f, 1:2, :] = done_out
-                        state[f, 2:3, :] = pc0[chunk - 1 :, :]
-                        state[f, 3:4, :] = pc1[chunk - 1 :, :]
-                        state[f, 4:5, :] = pc2[chunk - 1 :, :]
+                        state[f, 2:3, :] = pcc[chunk - 1 :, :]
 
             out_dma(i % 2, f, i).start()
 

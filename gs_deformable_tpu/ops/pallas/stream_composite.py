@@ -170,7 +170,7 @@ def _stream_backward_kernel(
     splat_ref,    # (16, S*chunk) VMEM block
     meta_hbm,     # (T, 16, npix) HBM: rows 0:8 fwd out, 8:16 upstream grads
     dsplat_ref,   # (16, S*chunk) VMEM out block
-    state,        # (8, npix) VMEM scratch: [T,done,p0,p1,p2,-,-,-]
+    state,        # (8, npix) VMEM scratch: [T,done,pcc,-,-,-,-,-]
     ring,         # (4, 16, npix) VMEM scratch: tile-meta DMA ring
     rsem,         # (4,) DMA semaphores for the ring
     *,
@@ -226,7 +226,7 @@ def _stream_backward_kernel(
                     ring_dma(kopen + lookahead, nxt).start()
 
                 state[0:1, :] = jnp.ones((1, npix), jnp.float32)
-                state[1:5, :] = jnp.zeros((4, npix), jnp.float32)
+                state[1:3, :] = jnp.zeros((2, npix), jnp.float32)
 
             saturated = jnp.min(state[1:2, :]) > 0.5
 
@@ -237,14 +237,19 @@ def _stream_backward_kernel(
                     splat_ref[:, j * chunk : (j + 1) * chunk]
                 )  # (chunk, 16)
                 px, py = _tile_pixel_coords(owner, grid_x, tile_x, tile_y)
-                total0 = ring[slot, 0:1, :]
-                total1 = ring[slot, 1:2, :]
-                total2 = ring[slot, 2:3, :]
                 t_final = ring[slot, 3:4, :]
                 gc0 = ring[slot, 8:9, :]
                 gc1 = ring[slot, 9:10, :]
                 gc2 = ring[slot, 10:11, :]
                 gt = ring[slot, 11:12, :]
+                # combined gc-weighted totals: one prefix replaces three
+                # (see composite.py backward)
+                gtotal = (
+                    gc0 * ring[slot, 0:1, :]
+                    + gc1 * ring[slot, 1:2, :]
+                    + gc2 * ring[slot, 2:3, :]
+                    + gt * t_final
+                )
 
                 a_hat, skip, g_exp, dx, dy, _ = _chunk_geometry(
                     rows, px, py, inbase, cnt, alpha_max, alpha_min, chunk
@@ -255,28 +260,16 @@ def _stream_backward_kernel(
                 col0 = rows[:, 6:7]
                 col1 = rows[:, 7:8]
                 col2 = rows[:, 8:9]
+                gcol = gc0 * col0 + gc1 * col1 + gc2 * col2
                 wat = a_hat * t_g
-                wc0 = jnp.where(contrib, wat * col0, 0.0)
-                wc1 = jnp.where(contrib, wat * col1, 0.0)
-                wc2 = jnp.where(contrib, wat * col2, 0.0)
-                pc0 = state[2:3, :] + jnp.dot(
-                    tril, wc0, preferred_element_type=jnp.float32
-                )
-                pc1 = state[3:4, :] + jnp.dot(
-                    tril, wc1, preferred_element_type=jnp.float32
-                )
-                pc2 = state[4:5, :] + jnp.dot(
-                    tril, wc2, preferred_element_type=jnp.float32
+                wcomb = jnp.where(contrib, wat * gcol, 0.0)
+                pcc = state[2:3, :] + jnp.dot(
+                    tril, wcomb, preferred_element_type=jnp.float32
                 )
 
                 om = 1.0 - a_hat
                 inv_om = 1.0 / om
-                dalpha = (
-                    gc0 * (col0 * t_g - (total0 - pc0) * inv_om)
-                    + gc1 * (col1 * t_g - (total1 - pc1) * inv_om)
-                    + gc2 * (col2 * t_g - (total2 - pc2) * inv_om)
-                    + gt * (-t_final * inv_om)
-                )
+                dalpha = gcol * t_g - (gtotal - pcc) * inv_om
                 dalpha = jnp.where(contrib, dalpha, 0.0)
                 op = rows[:, 5:6]
                 g_safe = jnp.where(skip, 0.0, g_exp)
@@ -307,9 +300,7 @@ def _stream_backward_kernel(
                 dsplat_ref[:, j * chunk : (j + 1) * chunk] = jnp.transpose(grads)
                 state[0:1, :] = t_out
                 state[1:2, :] = done_out
-                state[2:3, :] = pc0[chunk - 1 :, :]
-                state[3:4, :] = pc1[chunk - 1 :, :]
-                state[4:5, :] = pc2[chunk - 1 :, :]
+                state[2:3, :] = pcc[chunk - 1 :, :]
 
 
 def _chunk_tables(tile_chunk_start, tile_count, *, chunk: int, c_padded: int):
