@@ -150,6 +150,24 @@ def _delta_fills(values_list, active, positions, K: int, widths=None):
     return fills
 
 
+def _kth_set_bit(mask: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
+    """Position of the rank-th (0-based) set bit of a 16-bit mask.
+
+    Four popcount-bisection rounds, vectorized over the instance stream —
+    remaps a survivor rank back to its original rect slot when a tile-cull
+    mask (ops/projection.tile_ellipse_mask) filtered the emission.
+    """
+    bit = jnp.zeros_like(mask)
+    r = rank
+    for half in (8, 4, 2, 1):
+        low = (mask >> bit) & ((1 << half) - 1)
+        c = jax.lax.population_count(low)
+        go_high = r >= c
+        bit = bit + jnp.where(go_high, half, 0)
+        r = r - jnp.where(go_high, c, 0)
+    return bit
+
+
 def bin_gaussians(
     tiles_touched: jnp.ndarray,
     rect: jnp.ndarray,
@@ -161,6 +179,7 @@ def bin_gaussians(
     chunk: int,
     sort_mode: str = "exact",
     aligned_slack: int = -1,
+    tile_mask: jnp.ndarray | None = None,
 ) -> Binning:
     """Expand each visible gaussian into one instance per touched tile, sort by
     (tile, depth), and lay the result out chunk-aligned per tile.
@@ -170,6 +189,9 @@ def bin_gaussians(
       rect: (P, 4) int32 tile rect [x0, y0, x1, y1).
       depths: (P,) float32 view-space z (all > 0.2 for visible gaussians).
       grid_x, grid_y, capacity, chunk: static geometry.
+      tile_mask: optional (P,) int32 from projection.tile_ellipse_mask —
+        bit 16 set means bits 0..15 select the surviving rect slots and
+        ``tiles_touched`` already counts only survivors.
     """
     P = tiles_touched.shape[0]
     K = capacity
@@ -193,16 +215,21 @@ def bin_gaussians(
     w_t = jnp.maximum(rect[:, 2] - rect[:, 0], 1)
     code = (rect[:, 0] << 20) | (rect[:, 1] << 10) | w_t
     dbits = depths.view(jnp.int32)
-    safe_gid, offs, ic, idb = _delta_fills(
-        [ids, offsets, code, dbits],
-        t > 0,
-        offsets,
-        K,
-        widths=[22, 22, 30, 31],
-    )
+    vals = [ids, offsets, code, dbits]
+    widths = [22, 22, 30, 31]
+    if tile_mask is not None:
+        vals.append(tile_mask)
+        widths.append(17)
+    fills = _delta_fills(vals, t > 0, offsets, K, widths=widths)
+    safe_gid, offs, ic, idb = fills[:4]
     pos = jnp.arange(K, dtype=jnp.int32)
     valid = pos < jnp.minimum(required, K)
     rank = pos - offs
+    if tile_mask is not None:
+        imask = fills[4]
+        flagged = (imask >> 16) > 0
+        slot = _kth_set_bit(imask & 0xFFFF, rank)
+        rank = jnp.where(flagged, slot, rank)
 
     iw = ic & 0x3FF
     iy0 = (ic >> 10) & 0x3FF

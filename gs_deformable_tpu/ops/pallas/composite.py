@@ -88,15 +88,55 @@ def _chunk_geometry(rows, px, py, chunk_base, count, alpha_max, alpha_min, chunk
     return a_hat, skip, g_exp, dx, dy, row
 
 
+def _shift_down(x, s: int, fill: float):
+    """Shift rows down by ``s`` along axis 0, filling the top with ``fill``."""
+    pad = jnp.full((s,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([pad, x[: x.shape[0] - s]], axis=0)
+
+
 def _composite_step(a_hat, skip, t_in, done_in, eps, tril):
     """First-hit termination + transmittance bookkeeping for one chunk.
 
-    The transmittance recurrence T *= (1 - alpha) runs in log space: the
-    cumulative sum of log1p(-alpha) along the chunk is one triangular matmul
-    on the MXU, and the exclusive product divides out the own factor.  fp32
-    log/exp round-trip error is ~1e-7 relative — far inside tolerances.
+    Two scan strategies for the transmittance recurrence T *= (1 - alpha):
+
+    - ``tril`` given ("log" mode): cumulative sum of log1p(-alpha) along the
+      chunk as one triangular matmul on the MXU; the exclusive product
+      divides out the own factor.  fp32 log/exp round-trip error is ~1e-7
+      relative — far inside tolerances.
+    - ``tril is None`` ("linear" mode): Hillis-Steele exclusive prefix
+      *product* of (1 - alpha) via log2(chunk) shift-multiplies on the VPU —
+      no transcendentals, no division, no MXU use.  Because the inclusive
+      prefix is monotone non-increasing down the chunk, "before the first
+      terminating instance" is exactly "prefix >= eps", so the first-hit
+      index min-reduction disappears too.
     """
     om = 1.0 - a_hat
+    if tril is None:
+        p = _shift_down(om, 1, 1.0)
+        s = 1
+        while s < a_hat.shape[0]:
+            p = p * _shift_down(p, s, 1.0)
+            s *= 2
+        t_g = t_in * p  # exclusive transmittance per row
+        test_t = t_g * om  # inclusive
+        live = done_in < 0.5
+        below = test_t < eps
+        contrib = jnp.logical_not(skip | below) & live
+        # CUDA leaves T at its value after the last *contributing* row (the
+        # terminating row `continue`s without updating T).  test_t is monotone
+        # non-increasing, so that value is the min over contributing rows —
+        # a min-reduction, since Mosaic has no reduce_prod.
+        t_out = jnp.minimum(
+            t_in,
+            jnp.min(jnp.where(contrib, test_t, _BIG), axis=0, keepdims=True),
+        )
+        hit = jnp.max(
+            jnp.where(jnp.logical_not(skip) & below, 1.0, 0.0),
+            axis=0,
+            keepdims=True,
+        )
+        done_out = jnp.maximum(done_in, hit)
+        return contrib, t_g, t_out, done_out
     log_om = jnp.log1p(-a_hat)  # exact 0 for skipped rows (a_hat == 0)
     csum = jnp.dot(tril, log_om, preferred_element_type=jnp.float32)  # inclusive
     test_t = t_in * jnp.exp(csum)  # inclusive prefix product
@@ -140,6 +180,7 @@ def _forward_kernel(
     alpha_max: float,
     alpha_min: float,
     eps: float,
+    scan_mode: str,
 ):
     npix = tile_x * tile_y
     g = pl.program_id(0)
@@ -152,7 +193,7 @@ def _forward_kernel(
     nchunks = nchunks_t[0]
     for j in range(1, tb):
         nchunks = jnp.maximum(nchunks, nchunks_t[j])
-    tril = _tril(chunk)
+    tril = _tril(chunk) if scan_mode == "log" else None
 
     def dma(slot, j, i):
         return pltpu.make_async_copy(
@@ -265,6 +306,7 @@ def _backward_kernel(
     alpha_max: float,
     alpha_min: float,
     eps: float,
+    scan_mode: str,
 ):
     npix = tile_x * tile_y
     g = pl.program_id(0)
@@ -277,7 +319,10 @@ def _backward_kernel(
     nchunks = nchunks_t[0]
     for j in range(1, tb):
         nchunks = jnp.maximum(nchunks, nchunks_t[j])
+    # The pcc prefix always rides the MXU; only the transmittance scan
+    # switches between log-space (tril) and linear-space (None).
     tril = _tril(chunk)
+    step_tril = tril if scan_mode == "log" else None
 
     def dma(slot, j, i):
         return pltpu.make_async_copy(
@@ -334,7 +379,7 @@ def _backward_kernel(
                 rows, px, py, base, counts[j], alpha_max, alpha_min, chunk
             )
             contrib, t_g, t_acc[j], done[j] = _composite_step(
-                a_hat, skip, t_acc[j], done[j], eps, tril
+                a_hat, skip, t_acc[j], done[j], eps, step_tril
             )
             col0 = rows[:, 6:7]
             col1 = rows[:, 7:8]
@@ -415,6 +460,7 @@ def make_batch_calls(
     alpha_max: float = 0.99,
     alpha_min: float = 1.0 / 255.0,
     eps: float = 1e-4,
+    scan_mode: str = "log",
     interpret: bool = False,
 ):
     """Raw forward/backward pallas_calls of the tile-batched schedule.
@@ -441,6 +487,7 @@ def make_batch_calls(
         alpha_max=alpha_max,
         alpha_min=alpha_min,
         eps=eps,
+        scan_mode=scan_mode,
     )
 
     fwd_call = pl.pallas_call(
@@ -508,6 +555,7 @@ def make_tile_composite(
     alpha_max: float = 0.99,
     alpha_min: float = 1.0 / 255.0,
     eps: float = 1e-4,
+    scan_mode: str = "log",
     interpret: bool = False,
 ):
     """Build the differentiable tile-compositing op for a static geometry.
@@ -528,6 +576,7 @@ def make_tile_composite(
         alpha_max=alpha_max,
         alpha_min=alpha_min,
         eps=eps,
+        scan_mode=scan_mode,
         interpret=interpret,
     )
 

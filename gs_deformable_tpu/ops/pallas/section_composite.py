@@ -72,12 +72,13 @@ def _section_forward_kernel(
     alpha_max: float,
     alpha_min: float,
     eps: float,
+    scan_mode: str,
 ):
     npix = tile_x * tile_y
     S = s_chunks
     F = f_sections
     i = pl.program_id(0)
-    tril = _tril(chunk)
+    tril = _tril(chunk) if scan_mode == "log" else None
 
     def in_dma(slot, f, step):
         return pltpu.make_async_copy(
@@ -231,13 +232,16 @@ def _section_backward_kernel(
     alpha_min: float,
     eps: float,
     kp_main_cols: int,
+    scan_mode: str = "log",
     lookahead: int = 2,
 ):
     npix = tile_x * tile_y
     S = s_chunks
     F = f_sections
     i = pl.program_id(0)
+    # pcc prefix always on the MXU; transmittance scan is mode-selected.
     tril = _tril(chunk)
+    step_tril = tril if scan_mode == "log" else None
 
     def in_dma(slot, f, step):
         return pltpu.make_async_copy(
@@ -359,7 +363,7 @@ def _section_backward_kernel(
                         )
                         contrib, t_g, t_out, done_out = _composite_step(
                             a_hat, skip, state[f, 0:1, :], state[f, 1:2, :],
-                            eps, tril,
+                            eps, step_tril,
                         )
                         col0 = rows[:, 6:7]
                         col1 = rows[:, 7:8]
@@ -441,6 +445,7 @@ def make_section_calls(
     alpha_max: float = 0.99,
     alpha_min: float = 1.0 / 255.0,
     eps: float = 1e-4,
+    scan_mode: str = "log",
     interpret: bool = False,
 ):
     """Raw forward/backward pallas_calls of the sectioned schedule.
@@ -476,6 +481,7 @@ def make_section_calls(
         alpha_max=alpha_max,
         alpha_min=alpha_min,
         eps=eps,
+        scan_mode=scan_mode,
     )
 
     fwd_call = pl.pallas_call(
@@ -550,6 +556,7 @@ def make_section_composite(
     alpha_max: float = 0.99,
     alpha_min: float = 1.0 / 255.0,
     eps: float = 1e-4,
+    scan_mode: str = "log",
     interpret: bool = False,
 ):
     """Build the sectioned differentiable tile-compositing op.
@@ -566,7 +573,7 @@ def make_section_composite(
         chunk=chunk, padded_capacity=padded_capacity,
         stream_chunks=stream_chunks, sections=sections,
         alpha_max=alpha_max, alpha_min=alpha_min, eps=eps,
-        interpret=interpret,
+        scan_mode=scan_mode, interpret=interpret,
     )
 
     def _tables(tile_chunk_start, tile_count):

@@ -75,10 +75,11 @@ def _stream_forward_kernel(
     alpha_max: float,
     alpha_min: float,
     eps: float,
+    scan_mode: str,
 ):
     npix = tile_x * tile_y
     i = pl.program_id(0)
-    tril = _tril(chunk)
+    tril = _tril(chunk) if scan_mode == "log" else None
 
     @pl.when(i == 0)
     def _():
@@ -184,11 +185,14 @@ def _stream_backward_kernel(
     alpha_max: float,
     alpha_min: float,
     eps: float,
+    scan_mode: str,
     lookahead: int = 2,
 ):
     npix = tile_x * tile_y
     i = pl.program_id(0)
+    # pcc prefix always on the MXU; transmittance scan is mode-selected.
     tril = _tril(chunk)
+    step_tril = tril if scan_mode == "log" else None
 
     def ring_dma(k, tile):
         slot = jax.lax.rem(k, 4)
@@ -255,7 +259,7 @@ def _stream_backward_kernel(
                     rows, px, py, inbase, cnt, alpha_max, alpha_min, chunk
                 )
                 contrib, t_g, t_out, done_out = _composite_step(
-                    a_hat, skip, state[0:1, :], state[1:2, :], eps, tril
+                    a_hat, skip, state[0:1, :], state[1:2, :], eps, step_tril
                 )
                 col0 = rows[:, 6:7]
                 col1 = rows[:, 7:8]
@@ -356,6 +360,7 @@ def make_stream_calls(
     alpha_max: float = 0.99,
     alpha_min: float = 1.0 / 255.0,
     eps: float = 1e-4,
+    scan_mode: str = "log",
     interpret: bool = False,
 ):
     """Raw forward/backward pallas_calls of the stream schedule.
@@ -381,6 +386,7 @@ def make_stream_calls(
         alpha_max=alpha_max,
         alpha_min=alpha_min,
         eps=eps,
+        scan_mode=scan_mode,
     )
     kp_padded = c_padded * chunk
 
@@ -471,6 +477,7 @@ def make_stream_composite(
     alpha_max: float = 0.99,
     alpha_min: float = 1.0 / 255.0,
     eps: float = 1e-4,
+    scan_mode: str = "log",
     interpret: bool = False,
 ):
     """Build the streaming differentiable tile-compositing op.
@@ -486,7 +493,7 @@ def make_stream_composite(
         grid_x=grid_x, grid_y=grid_y, tile_x=tile_x, tile_y=tile_y,
         chunk=chunk, padded_capacity=padded_capacity,
         stream_chunks=stream_chunks, alpha_max=alpha_max, alpha_min=alpha_min,
-        eps=eps, interpret=interpret,
+        eps=eps, scan_mode=scan_mode, interpret=interpret,
     )
 
     def _fwd_impl(splats_t, tile_chunk_start, tile_count):
@@ -537,6 +544,7 @@ def make_mixed_composite(
     alpha_max: float = 0.99,
     alpha_min: float = 1.0 / 255.0,
     eps: float = 1e-4,
+    scan_mode: str = "log",
     interpret: bool = False,
 ):
     """Tile-batched forward paired with the stream-schedule backward.
@@ -553,13 +561,14 @@ def make_mixed_composite(
     b_fwd, _, _ = make_batch_calls(
         grid_x=grid_x, grid_y=grid_y, tile_x=tile_x, tile_y=tile_y,
         chunk=chunk, padded_capacity=padded_capacity, tile_batch=tile_batch,
-        alpha_max=alpha_max, alpha_min=alpha_min, eps=eps, interpret=interpret,
+        alpha_max=alpha_max, alpha_min=alpha_min, eps=eps,
+        scan_mode=scan_mode, interpret=interpret,
     )
     _, s_bwd, c_padded, kp_padded = make_stream_calls(
         grid_x=grid_x, grid_y=grid_y, tile_x=tile_x, tile_y=tile_y,
         chunk=chunk, padded_capacity=padded_capacity,
         stream_chunks=stream_chunks, alpha_max=alpha_max, alpha_min=alpha_min,
-        eps=eps, interpret=interpret,
+        eps=eps, scan_mode=scan_mode, interpret=interpret,
     )
 
     @jax.custom_vjp

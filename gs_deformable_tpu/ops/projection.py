@@ -65,6 +65,97 @@ def mark_visible(
     return p_view_z > NEAR_Z
 
 
+def tile_ellipse_mask(
+    means2d_pix: jnp.ndarray,
+    conics: jnp.ndarray,
+    opacities: jnp.ndarray,
+    rect: jnp.ndarray,
+    tiles_touched: jnp.ndarray,
+    *,
+    tile_x: int,
+    tile_y: int,
+    max_bits: int = 16,
+    slack: float = 0.02,
+):
+    """Exact per-tile ellipse cull for gaussians with small tile rects.
+
+    The reference bins every tile in the radius AABB (auxiliary.h:46-56), but
+    the compositing kernel skips any pixel with alpha < 1/255
+    (forward.cu:343-344) — so a (gaussian, tile) instance whose *best* pixel
+    is below that threshold contributes exactly nothing.  For each gaussian
+    whose rect holds at most ``max_bits`` tiles, this tests every rect tile:
+    the minimum of the conic quadratic form q(d) = A dx^2 + 2B dx dy + C dy^2
+    over the tile's pixel-center box is found in closed form (interior test +
+    four clamped edge minima) and kept only if q_min <= 2 ln(255 op) + slack
+    (the same knife-edge slack the opacity-aware radius uses).  Corner tiles
+    of the AABB that the ellipse misses are dropped.
+
+    Dropped instances are rows the kernel would skip at every pixel: every
+    contribution is exactly unchanged, so images and gradients agree to
+    float rounding (the re-packed chunks reassociate the prefix scans at the
+    ~1e-7 level, like opacity_aware_radius); the n_contrib debug counter (an
+    instance *index*, never returned through the reference Python API) and
+    the instance-capacity accounting shrink.
+
+    Returns (mask_code, new_tiles_touched): ``mask_code`` is (P,) int32 with
+    bit 16 set when the mask applies and bits 0..15 flagging surviving rect
+    slots (slot i = tile (x0 + i mod w, y0 + i div w), the emission order of
+    rasterizer_impl.cu:89-103); gaussians with larger rects keep bit 16 clear
+    and their full rect count.
+    """
+    assert max_bits <= 16
+    op = opacities[:, 0] if opacities.ndim == 2 else opacities
+    op = jax.lax.stop_gradient(op)
+    pix = jax.lax.stop_gradient(means2d_pix)
+    con = jax.lax.stop_gradient(conics)
+    x0, y0, x1 = rect[:, 0], rect[:, 1], rect[:, 2]
+    w = jnp.maximum(x1 - x0, 1)
+    a_c, b_c, c_c = con[:, 0], con[:, 1], con[:, 2]
+    usable = (tiles_touched > 0) & (tiles_touched <= max_bits)
+    usable &= (a_c > 0.0) & (c_c > 0.0)
+    qthr = 2.0 * jnp.log(jnp.maximum(255.0 * op, 1.0)) + slack
+    gx, gy = pix[:, 0], pix[:, 1]
+
+    mask = jnp.zeros_like(tiles_touched)
+    count = jnp.zeros_like(tiles_touched)
+    for i in range(max_bits):
+        iy = jnp.int32(i) // w
+        ix = jnp.int32(i) - iy * w
+        # dx = gx - px over the tile's pixel-center box -> dx in [ax, bx]
+        px0 = ((x0 + ix) * tile_x).astype(jnp.float32)
+        py0 = ((y0 + iy) * tile_y).astype(jnp.float32)
+        ax = gx - (px0 + (tile_x - 1))
+        bx = gx - px0
+        ay = gy - (py0 + (tile_y - 1))
+        by = gy - py0
+        inside = (ax <= 0.0) & (bx >= 0.0) & (ay <= 0.0) & (by >= 0.0)
+
+        def q_at(dx, dy):
+            return a_c * dx * dx + 2.0 * b_c * dx * dy + c_c * dy * dy
+
+        def edge_x(dxv):  # minimize over dy in [ay, by] at fixed dx
+            dy = jnp.clip(-b_c * dxv / c_c, ay, by)
+            return q_at(dxv, dy)
+
+        def edge_y(dyv):
+            dx = jnp.clip(-b_c * dyv / a_c, ax, bx)
+            return q_at(dx, dyv)
+
+        qmin = jnp.minimum(
+            jnp.minimum(edge_x(ax), edge_x(bx)),
+            jnp.minimum(edge_y(ay), edge_y(by)),
+        )
+        qmin = jnp.where(inside, 0.0, qmin)
+        keep = (jnp.int32(i) < tiles_touched) & (qmin <= qthr)
+        keep_i = keep.astype(jnp.int32)
+        mask = mask | (keep_i << i)
+        count = count + keep_i
+
+    mask_code = jnp.where(usable, mask | (1 << 16), 0)
+    new_tiles = jnp.where(usable, count, tiles_touched)
+    return mask_code, new_tiles
+
+
 def compute_cov2d(
     means3d: jnp.ndarray,
     cov3d: jnp.ndarray,

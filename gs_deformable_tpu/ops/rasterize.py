@@ -32,7 +32,7 @@ from ..config import RasterizeConfig
 from . import sh as sh_ops
 from .binning import aligned_capacity, bin_gaussians
 from .pallas.composite import SPLAT_WIDTH, make_tile_composite
-from .projection import ndc2pix, preprocess
+from .projection import ndc2pix, preprocess, tile_ellipse_mask
 from .transforms import build_cov3d
 
 
@@ -78,9 +78,18 @@ def rasterize_arrays(
     if interpret is None:
         interpret = _use_interpret()
 
+    tt = jax.lax.stop_gradient(tiles_touched)
+    rect_sg = jax.lax.stop_gradient(rect)
+    tile_mask = None
+    if cfg.tile_cull:
+        tile_mask, tt = tile_ellipse_mask(
+            means2d_pix, conics, opacities, rect_sg, tt,
+            tile_x=cfg.tile_x, tile_y=cfg.tile_y,
+        )
+
     binning = bin_gaussians(
-        jax.lax.stop_gradient(tiles_touched),
-        jax.lax.stop_gradient(rect),
+        tt,
+        rect_sg,
         jax.lax.stop_gradient(depths),
         grid_x=grid_x,
         grid_y=grid_y,
@@ -88,6 +97,7 @@ def rasterize_arrays(
         chunk=cfg.chunk,
         sort_mode=cfg.sort_mode,
         aligned_slack=cfg.aligned_slack,
+        tile_mask=tile_mask,
     )
 
     P = means2d_pix.shape[0]
@@ -123,6 +133,7 @@ def rasterize_arrays(
         alpha_max=cfg.alpha_max,
         alpha_min=cfg.alpha_min,
         eps=cfg.transmittance_eps,
+        scan_mode=cfg.scan_mode,
         interpret=interpret,
     )
     if cfg.composite_mode == "stream":

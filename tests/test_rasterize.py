@@ -17,7 +17,10 @@ from gs_deformable_tpu.ops.rasterize import rasterize_arrays, render_gaussians
 from gs_deformable_tpu.ops.rasterize_dense import rasterize_dense
 
 W, H = 80, 48
-CFG = RasterizeConfig(instance_capacity=4096, chunk=8)
+# tile_cull off: these suites pin reference-faithful instance indexing
+# (n_contrib) against the dense oracle; the cull's image-exactness has its
+# own dedicated test below.
+CFG = RasterizeConfig(instance_capacity=4096, chunk=8, tile_cull=False)
 
 
 def make_scene(rng, n=200, seed_depth_ties=False):
@@ -406,3 +409,116 @@ def test_opacity_aware_culling_image_exact(rng):
     np.testing.assert_allclose(img_a, img_e, rtol=1e-5, atol=1e-6)
     for a, b in zip(g_a, g_e):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_linear_scan_matches_dense_and_log(rng):
+    """scan_mode="linear" (Hillis-Steele prefix product, no transcendentals)
+    must match the dense oracle within the standard tolerances, keep
+    n_contrib exact, and agree with the log-space scan across schedules."""
+    import dataclasses
+
+    pre, opac, colors, _ = make_scene(rng, n=220, seed_depth_ties=True)
+    bg = jnp.asarray([0.2, 0.4, 0.6])
+    wimg = jnp.asarray(rng.normal(size=(3, H, W)), jnp.float32)
+    dense = rasterize_dense(
+        pre.means2d_pix, pre.depths, pre.conics, opac, colors,
+        pre.rect, pre.mask, bg, width=W, height=H,
+    )
+
+    outs = {}
+    for key, mode, scan in [
+        ("log", "batch", "log"),
+        ("lin-batch", "batch", "linear"),
+        ("lin-mixed", "mixed", "linear"),
+        ("lin-stream", "stream", "linear"),
+    ]:
+        cfg = dataclasses.replace(
+            CFG, composite_mode=mode, scan_mode=scan, stream_chunks=3)
+
+        def loss(op, col):
+            img, ft, nc, req, _ = rasterize_arrays(
+                pre.means2d_pix, pre.depths, pre.conics, op, col,
+                pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=cfg,
+            )
+            return jnp.sum(img * wimg), (img, ft, nc)
+
+        (lv, aux), grads = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(opac, colors)
+        outs[key] = (aux, grads)
+
+    (img_l, ft_l, nc_l), g_l = outs["lin-batch"]
+    # vs the dense oracle: same tolerances as the log scan's parity test
+    np.testing.assert_allclose(
+        np.asarray(img_l), np.asarray(dense.color), rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(ft_l), np.asarray(dense.final_t), rtol=1e-4, atol=2e-6)
+    np.testing.assert_array_equal(
+        np.asarray(nc_l), np.asarray(dense.n_contrib))
+    # vs the log scan: tiny float-rounding differences only
+    (img_b, ft_b, nc_b), g_b = outs["log"]
+    np.testing.assert_array_equal(np.asarray(nc_l), np.asarray(nc_b))
+    np.testing.assert_allclose(np.asarray(img_l), np.asarray(img_b), atol=1e-5)
+    for name, a, b in zip(["opacity", "colors"], g_b, g_l):
+        scale = np.abs(np.asarray(a)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5 * scale, err_msg=name)
+    # linear scan is schedule-invariant (bit-identical across kernels)
+    for key in ["lin-mixed", "lin-stream"]:
+        (img_s, ft_s, nc_s), g_s = outs[key]
+        np.testing.assert_array_equal(np.asarray(nc_s), np.asarray(nc_l))
+        np.testing.assert_allclose(
+            np.asarray(img_s), np.asarray(img_l), atol=1e-7, err_msg=key)
+        for name, a, b in zip(["opacity", "colors"], g_l, g_s):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-7,
+                err_msg=f"{key}:{name}")
+
+
+def test_tile_cull_image_exact(rng):
+    """tile_cull drops only (gaussian, tile) instances the kernel would skip
+    at every pixel: contributions are exactly unchanged, so images and
+    gradients agree to float-rounding (dropped rows re-pack the chunks, which
+    reassociates the prefix-scan arithmetic at the ~1e-7 level — the same
+    class of difference as opacity_aware_radius).  Instance counts shrink and
+    n_contrib never grows.  Exercised with mixed opacities and anisotropic
+    splats (AABB corner tiles are where the cull bites)."""
+    import dataclasses
+
+    pre, opac, colors, _ = make_scene(rng, n=250)
+    # stretch some splats to force anisotropic rects
+    con = np.array(pre.conics)
+    con[::3, 0] *= 6.0  # shrink x reach -> tall ellipses inside wide AABBs
+    conics = jnp.asarray(con)
+    opac = opac.at[::5].set(0.02)  # low-opacity -> small reach ellipses
+    bg = jnp.asarray([0.3, 0.2, 0.1])
+    wimg = jnp.asarray(rng.normal(size=(3, H, W)), jnp.float32)
+
+    outs = {}
+    for cull in [False, True]:
+        cfg = dataclasses.replace(CFG, tile_cull=cull)
+
+        def loss(op, col, p2d, cn):
+            img, ft, nc, req, _ = rasterize_arrays(
+                p2d, pre.depths, cn, op, col,
+                pre.rect, pre.tiles_touched, bg, width=W, height=H, cfg=cfg,
+            )
+            return jnp.sum(img * wimg), (img, ft, nc, req)
+
+        (lv, aux), grads = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3), has_aux=True
+        )(opac, colors, pre.means2d_pix, conics)
+        outs[cull] = (aux, grads)
+
+    (img0, ft0, nc0, req0), g0 = outs[False]
+    (img1, ft1, nc1, req1), g1 = outs[True]
+    assert int(req1) < int(req0), "cull should drop some instances here"
+    np.testing.assert_allclose(
+        np.asarray(img1), np.asarray(img0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ft1), np.asarray(ft0), rtol=1e-5, atol=1e-6)
+    assert np.all(np.asarray(nc1) <= np.asarray(nc0))
+    for name, a, b in zip(["opacity", "colors", "means2d", "conics"], g0, g1):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(
+            a, b, rtol=1e-4, atol=1e-6 * scale, err_msg=name)
