@@ -94,6 +94,26 @@ def _shift_down(x, s: int, fill: float):
     return jnp.concatenate([pad, x[: x.shape[0] - s]], axis=0)
 
 
+def _dot32(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _sum_rows(x):
+    """Sum over the sublane (chunk) axis -> (1, npix), on the MXU.
+
+    A ones-matvec: the VPU tree reduction over 128 sublanes costs ~7 passes
+    over the whole array; the MXU does it in one streamed pass (the kernels
+    are VPU-bound, MXU mostly idle)."""
+    ones = jnp.ones((1, x.shape[0]), jnp.float32)
+    return _dot32(ones, x)
+
+
+def _sum_lanes(x):
+    """Sum over the lane (npix) axis -> (chunk, 1), on the MXU."""
+    ones = jnp.ones((x.shape[1], 1), jnp.float32)
+    return _dot32(x, ones)
+
+
 def _composite_step(a_hat, skip, t_in, done_in, eps, tril):
     """First-hit termination + transmittance bookkeeping for one chunk.
 
@@ -147,7 +167,7 @@ def _composite_step(a_hat, skip, t_in, done_in, eps, tril):
     live = done_in < 0.5  # (1, npix)
     contrib = jnp.logical_not(skip) & (row_b.astype(jnp.float32) < fd) & live
     log_eff = jnp.where(contrib, log_om, 0.0)
-    t_out = t_in * jnp.exp(jnp.sum(log_eff, axis=0, keepdims=True))
+    t_out = t_in * jnp.exp(_sum_rows(log_eff))
     done_out = jnp.maximum(done_in, (fd < _BIG).astype(jnp.float32))
     return contrib, t_g, t_out, done_out
 
@@ -249,15 +269,19 @@ def _forward_kernel(
             contrib, t_g, t_acc[j], done[j] = _composite_step(
                 a_hat, skip, t_acc[j], done[j], eps, tril
             )
-            # where() selections (not mask multiplies): chunks a tile never
-            # DMA'd hold stale buffer bits, and 0 * NaN would poison the sums.
-            w = a_hat * t_g
-            c0[j] = c0[j] + jnp.sum(
-                jnp.where(contrib, w * rows[:, 6:7], 0.0), axis=0, keepdims=True)
-            c1[j] = c1[j] + jnp.sum(
-                jnp.where(contrib, w * rows[:, 7:8], 0.0), axis=0, keepdims=True)
-            c2[j] = c2[j] + jnp.sum(
-                jnp.where(contrib, w * rows[:, 8:9], 0.0), axis=0, keepdims=True)
+            # Colors are per-instance constants, so the three weighted pixel
+            # sums are ONE (3, chunk) @ (chunk, npix) matmul on the (mostly
+            # idle) MXU instead of three broadcast-multiply-reduce passes on
+            # the VPU.  Stale buffer rows (chunks this tile never DMA'd) can
+            # hold NaN bits that 0-weights would not erase through a matmul,
+            # so both operands are where()-sanitized.
+            in_range = (base + row) < counts[j]  # (chunk, 1)
+            col_safe = jnp.where(in_range, rows[:, 6:9], 0.0)
+            wmask = jnp.where(contrib, a_hat * t_g, 0.0)
+            crgb = _dot32(jnp.transpose(col_safe), wmask)  # (3, npix)
+            c0[j] = c0[j] + crgb[0:1]
+            c1[j] = c1[j] + crgb[1:2]
+            c2[j] = c2[j] + crgb[2:3]
             gidx = (base + row + 1).astype(jnp.float32)
             nc[j] = jnp.maximum(
                 nc[j], jnp.max(jnp.where(contrib, gidx, 0.0), axis=0, keepdims=True)
@@ -381,12 +405,16 @@ def _backward_kernel(
             contrib, t_g, t_acc[j], done[j] = _composite_step(
                 a_hat, skip, t_acc[j], done[j], eps, step_tril
             )
+            # where() selections guard stale-buffer NaN (see forward kernel).
+            # Elementwise gcol / tree msums / per-color trees measured faster
+            # here than MXU matvec forms: their N<=3 output widths waste the
+            # 128-wide MXU and stall the serial chunk body (+3.7ms on the
+            # 800px train step), unlike the forward's (3,chunk)@(chunk,npix).
             col0 = rows[:, 6:7]
             col1 = rows[:, 7:8]
             col2 = rows[:, 8:9]
             gcol = gc0 * col0 + gc1 * col1 + gc2 * col2
             wat = a_hat * t_g  # alpha * T
-            # where() selections guard stale-buffer NaN (see forward kernel)
             wcomb = jnp.where(contrib, wat * gcol, 0.0)
             pcc = pcs[j] + jnp.dot(
                 tril, wcomb, preferred_element_type=jnp.float32

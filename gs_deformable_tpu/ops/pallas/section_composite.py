@@ -36,7 +36,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .composite import SPLAT_WIDTH, _chunk_geometry, _composite_step, _tril
+from .composite import (
+    SPLAT_WIDTH,
+    _chunk_geometry,
+    _composite_step,
+    _dot32,
+    _tril,
+)
 from .stream_composite import (
     _chunk_tables,
     _default_rows,
@@ -152,16 +158,13 @@ def _section_forward_kernel(
                             a_hat, skip, acc[f, 3:4, :], acc[f, 5:6, :],
                             eps, tril,
                         )
-                        w = a_hat * t_g
-                        acc[f, 0:1, :] += jnp.sum(
-                            jnp.where(contrib, w * rows[:, 6:7], 0.0),
-                            0, keepdims=True)
-                        acc[f, 1:2, :] += jnp.sum(
-                            jnp.where(contrib, w * rows[:, 7:8], 0.0),
-                            0, keepdims=True)
-                        acc[f, 2:3, :] += jnp.sum(
-                            jnp.where(contrib, w * rows[:, 8:9], 0.0),
-                            0, keepdims=True)
+                        # one MXU matmul for all three weighted color
+                        # sums; sanitization per composite.py
+                        in_range = (inbase + row) < cnt  # (chunk, 1)
+                        col_safe = jnp.where(in_range, rows[:, 6:9], 0.0)
+                        wmask = jnp.where(contrib, a_hat * t_g, 0.0)
+                        acc[f, 0:3, :] += _dot32(
+                            jnp.transpose(col_safe), wmask)
                         gidx = (inbase + row + 1).astype(jnp.float32)
                         acc[f, 4:5, :] = jnp.maximum(
                             acc[f, 4:5, :],
@@ -365,6 +368,8 @@ def _section_backward_kernel(
                             a_hat, skip, state[f, 0:1, :], state[f, 1:2, :],
                             eps, step_tril,
                         )
+                        # elementwise gcol / tree reductions: N<=3 MXU
+                        # matvecs measured slower (composite.py backward)
                         col0 = rows[:, 6:7]
                         col1 = rows[:, 7:8]
                         col2 = rows[:, 8:9]

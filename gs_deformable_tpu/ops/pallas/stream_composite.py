@@ -40,7 +40,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .composite import SPLAT_WIDTH, _chunk_geometry, _composite_step, _tril
+from .composite import (
+    SPLAT_WIDTH,
+    _chunk_geometry,
+    _composite_step,
+    _dot32,
+    _tril,
+)
 
 
 def _tile_pixel_coords(owner, grid_x: int, tile_x: int, tile_y: int):
@@ -118,17 +124,12 @@ def _stream_forward_kernel(
                 contrib, t_g, t_out, done_out = _composite_step(
                     a_hat, skip, acc[3:4, :], acc[5:6, :], eps, tril
                 )
-                w = a_hat * t_g
-                # where() selections, not mask multiplies: see composite.py
-                acc[0:1, :] += jnp.sum(
-                    jnp.where(contrib, w * rows[:, 6:7], 0.0), 0, keepdims=True
-                )
-                acc[1:2, :] += jnp.sum(
-                    jnp.where(contrib, w * rows[:, 7:8], 0.0), 0, keepdims=True
-                )
-                acc[2:3, :] += jnp.sum(
-                    jnp.where(contrib, w * rows[:, 8:9], 0.0), 0, keepdims=True
-                )
+                # One (3, chunk) @ (chunk, npix) MXU matmul for all three
+                # weighted color sums; sanitization per composite.py.
+                in_range = (inbase + row) < cnt  # (chunk, 1)
+                col_safe = jnp.where(in_range, rows[:, 6:9], 0.0)
+                wmask = jnp.where(contrib, a_hat * t_g, 0.0)
+                acc[0:3, :] += _dot32(jnp.transpose(col_safe), wmask)
                 gidx = (inbase + row + 1).astype(jnp.float32)
                 acc[4:5, :] = jnp.maximum(
                     acc[4:5, :],
@@ -261,6 +262,8 @@ def _stream_backward_kernel(
                 contrib, t_g, t_out, done_out = _composite_step(
                     a_hat, skip, state[0:1, :], state[1:2, :], eps, step_tril
                 )
+                # elementwise gcol / tree reductions: N<=3 MXU matvec forms
+                # measured slower here (see composite.py backward note)
                 col0 = rows[:, 6:7]
                 col1 = rows[:, 7:8]
                 col2 = rows[:, 8:9]
