@@ -120,7 +120,17 @@ class RasterizeConfig:
     # tile id in the top 13 bits and the top 19 float bits of depth below —
     # same order except for ties closer than ~0.1% relative depth (still
     # deterministic: stable by emission order). Faster on TPU.
-    sort_mode: str = "exact"
+    # "radix" = bit-exact CUB order with NO jax.lax.sort: gaussians are
+    # depth-ranked once by a P-sized LSD radix, the instance stream is
+    # emitted rank-major, and a stable counting partition groups it by tile
+    # (ops/scan_utils.py). Slower than "exact" on a direct TPU backend, but
+    # its compiled code size is independent of the instance count — the XLA
+    # TPU sort's code grows with input length and alone overflows the 2 GiB
+    # remote-AOT executable cap at ~1M instances — and it compiles orders of
+    # magnitude faster through the remote-compile tunnel.
+    # "auto" = "exact" on a direct TPU backend, "radix" under remote-AOT
+    # ("axon") where lax.sort cannot ship at full scene scale.
+    sort_mode: str = "auto"
     # Transmittance scan strategy inside the composite kernels. "log" =
     # log-space cumsum as one triangular matmul on the MXU (log1p/exp/divide
     # on the VPU). "linear" = Hillis-Steele shift-multiply prefix product,

@@ -45,7 +45,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .scan_utils import cumsum_i32
+from .scan_utils import counting_sort_dest, cumsum_i32, radix_sort_u32
 
 
 class Binning(NamedTuple):
@@ -189,16 +189,46 @@ def bin_gaussians(
       rect: (P, 4) int32 tile rect [x0, y0, x1, y1).
       depths: (P,) float32 view-space z (all > 0.2 for visible gaussians).
       grid_x, grid_y, capacity, chunk: static geometry.
+      sort_mode: "exact" | "packed" | "radix" | "auto" (see config.py;
+        "auto" resolves by backend — radix under remote-AOT compilation).
       tile_mask: optional (P,) int32 from projection.tile_ellipse_mask —
         bit 16 set means bits 0..15 select the surviving rect slots and
         ``tiles_touched`` already counts only survivors.
     """
+    if sort_mode == "auto":
+        sort_mode = "radix" if jax.default_backend() == "axon" else "exact"
     P = tiles_touched.shape[0]
     K = capacity
     num_tiles = grid_x * grid_y
     Kp = aligned_capacity(K, num_tiles, chunk, aligned_slack)
 
     t = tiles_touched.astype(jnp.int32)
+    ids = jnp.arange(P, dtype=jnp.int32)
+    w_t = jnp.maximum(rect[:, 2] - rect[:, 0], 1)
+    code = (rect[:, 0] << 20) | (rect[:, 1] << 10) | w_t
+
+    if sort_mode == "radix":
+        # Depth leaves the instance sort entirely: rank the P gaussians by
+        # their float-depth bits once (stable LSD radix, so equal depths rank
+        # in gaussian-index order — exactly the CUB tiebreak), then emit the
+        # instance stream in rank-major order.  A stable partition of that
+        # stream by tile id alone reproduces the (tile, depth, emission)
+        # order of rasterizer_impl.cu:300-308 bit-for-bit.  Everything is
+        # counting-sort scatters + MXU cumsums: unlike jax.lax.sort (whose
+        # compiled TPU code grows with the input length — it alone overflows
+        # the 2 GiB remote-AOT executable cap at ~1M instances), the compiled
+        # code is input-size-independent, and there is no O(K log K) factor.
+        dbits = jax.lax.bitcast_convert_type(depths, jnp.uint32)
+        _, (perm,) = radix_sort_u32(dbits, (ids,), bits=32, digit_bits=8)
+        rank = jnp.zeros((P,), jnp.int32).at[perm].set(ids, mode="drop")
+        t = jnp.zeros((P,), jnp.int32).at[rank].set(t, mode="drop")
+        code = jnp.zeros((P,), jnp.int32).at[rank].set(code, mode="drop")
+        if tile_mask is not None:
+            tile_mask = (
+                jnp.zeros((P,), jnp.int32).at[rank].set(tile_mask, mode="drop")
+            )
+        ids = perm  # original gaussian index, in rank order
+
     cum = cumsum_i32(t)  # inclusive prefix sum (MXU-blocked)
     offsets = cum - t  # exclusive
     required = cum[-1] if P > 0 else jnp.int32(0)
@@ -211,22 +241,24 @@ def bin_gaussians(
     # ~7.5ms on v5e; six fills cost ~1ms total).  The rect is packed as
     # x0/y0/width in 10 bits each (grids up to 1023x1023 tiles = 16k x 16k
     # pixels); the depth's positive-float bits are order-preserving as int.
-    ids = jnp.arange(P, dtype=jnp.int32)
-    w_t = jnp.maximum(rect[:, 2] - rect[:, 0], 1)
-    code = (rect[:, 0] << 20) | (rect[:, 1] << 10) | w_t
-    dbits = depths.view(jnp.int32)
-    vals = [ids, offsets, code, dbits]
-    widths = [22, 22, 30, 31]
+    if sort_mode == "radix":
+        vals = [ids, offsets, code]
+        widths = [22, 22, 30]
+    else:
+        dbits = depths.view(jnp.int32)
+        vals = [ids, offsets, code, dbits]
+        widths = [22, 22, 30, 31]
     if tile_mask is not None:
         vals.append(tile_mask)
         widths.append(17)
     fills = _delta_fills(vals, t > 0, offsets, K, widths=widths)
-    safe_gid, offs, ic, idb = fills[:4]
+    safe_gid, offs, ic = fills[:3]
+    idb = None if sort_mode == "radix" else fills[3]
     pos = jnp.arange(K, dtype=jnp.int32)
     valid = pos < jnp.minimum(required, K)
     rank = pos - offs
     if tile_mask is not None:
-        imask = fills[4]
+        imask = fills[-1]
         flagged = (imask >> 16) > 0
         slot = _kth_set_bit(imask & 0xFFFF, rank)
         rank = jnp.where(flagged, slot, rank)
@@ -238,10 +270,31 @@ def bin_gaussians(
     tx = ix0 + rank % iw
     ty = iy0 + rank // iw
     tile_id = jnp.where(valid, ty * grid_x + tx, num_tiles).astype(jnp.int32)
-    depth_key = jnp.where(
-        valid, idb.view(jnp.float32), jnp.inf
-    ).astype(jnp.float32)
-    tile_id, depth_key = jax.lax.optimization_barrier((tile_id, depth_key))
+
+    if sort_mode == "radix":
+        # Stable tile partition of the rank-major stream: LSD counting
+        # passes over the tile id's bits (the num_tiles sentinel of invalid
+        # slots partitions last, like the +inf depth key of the sort path).
+        tile_id = jax.lax.optimization_barrier(tile_id)
+        tid, gid_s = tile_id, safe_gid
+        nbits = max(1, int(num_tiles).bit_length())
+        shift = 0
+        while shift < nbits:
+            d = min(7, nbits - shift)
+            digits = (tid >> shift) & ((1 << d) - 1)
+            dest = counting_sort_dest(digits, 1 << d)
+            tid = jnp.zeros_like(tid).at[dest].set(tid, mode="drop")
+            gid_s = jnp.zeros_like(gid_s).at[dest].set(gid_s, mode="drop")
+            shift += d
+        tile_sorted, gid_sorted = tid, gid_s
+        tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        bounds = take_searchsorted(tile_sorted, tile_range).astype(jnp.int32)
+        depth_key = None
+    else:
+        depth_key = jnp.where(
+            valid, idb.view(jnp.float32), jnp.inf
+        ).astype(jnp.float32)
+        tile_id, depth_key = jax.lax.optimization_barrier((tile_id, depth_key))
 
     if sort_mode == "packed":
         # Single uint32 key: [tile:13 | float-depth-top-bits:19].  Positive
@@ -257,7 +310,7 @@ def bin_gaussians(
         tile_sorted = (key_sorted >> 19).astype(jnp.int32)
         tile_range = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << 19
         bounds = take_searchsorted(key_sorted, tile_range).astype(jnp.int32)
-    else:
+    elif sort_mode != "radix":
         tile_sorted, _, gid_sorted = jax.lax.sort(
             (tile_id, depth_key, safe_gid), num_keys=2, is_stable=True
         )

@@ -14,8 +14,9 @@ re-design for TPU:
 - The per-pixel sequential front-to-back loop becomes *vectorized* compositing:
   transmittance is an exclusive cumulative product along the chunk axis,
   computed in log space as one triangular matmul on the MXU; the reference's
-  first-hit "done" test (forward.cu:346-351) is resolved with a min-reduction
-  for the first terminating instance index — pixels ride the lane dimension.
+  first-hit "done" test (forward.cu:346-351) reduces to comparing a carried
+  monotone *probe* transmittance against eps (see _composite_step) — no
+  per-row index reductions, no done flags; pixels ride the lane dimension.
 - No atomics exist on TPU: the backward writes per-*instance* gradient rows to
   its tile's exclusive aligned slice of the instance list, and the
   per-gaussian reduction happens outside as the transpose of the XLA gather
@@ -27,6 +28,10 @@ re-design for TPU:
   dL/dalpha only ever consumes Sum_c gc_c * S_c, so by linearity ONE combined
   prefix of gc-weighted colors replaces three per-color prefixes (the
   backward was MXU-bound on those matmuls).
+- The backward's nine per-instance pixel reductions (six spatial grads, the
+  opacity grad, three color grads) are polynomial moments of two weight
+  arrays, evaluated as two narrow MXU matmuls per chunk (_instance_grads)
+  instead of VPU lane-tree reductions.
 
 Field-major splat layout, 16 rows: [x_pix, y_pix, conic_a, conic_b, conic_c,
 opacity, r, g, b, 0...].  Gradient rows mirror it.
@@ -108,27 +113,35 @@ def _sum_rows(x):
     return _dot32(ones, x)
 
 
-def _sum_lanes(x):
-    """Sum over the lane (npix) axis -> (chunk, 1), on the MXU."""
-    ones = jnp.ones((x.shape[1], 1), jnp.float32)
-    return _dot32(x, ones)
-
-
-def _composite_step(a_hat, skip, t_in, done_in, eps, tril):
+def _composite_step(a_hat, skip, t_in, probe_in, eps, tril):
     """First-hit termination + transmittance bookkeeping for one chunk.
 
-    Two scan strategies for the transmittance recurrence T *= (1 - alpha):
+    Termination state rides a second carried scalar per pixel: the *probe*
+    transmittance — the inclusive prefix product over EVERY evaluated row
+    (contributing or not, terminated or not).  The probe is monotone
+    non-increasing down the whole instance stream, and before the pixel's
+    terminating row it equals the true transmittance bit-for-bit (skipped
+    rows multiply by exactly 1; the MXU/scan accumulates the same values in
+    the same order).  Hence:
 
+    - "before the first terminating instance" is exactly ``probe >= eps``
+      (the old first-terminating-row min-reduction is bitwise equivalent),
+    - "the pixel already terminated in an earlier chunk" is exactly
+      ``probe_in < eps`` (sticky by monotonicity),
+
+    so the done flag, the per-row index compare, and both min/max reductions
+    disappear from the chunk body.  The real transmittance ``t_in``/``t_out``
+    (CUDA leaves T at its value after the last *contributing* row) is still
+    carried for the final_T output and the alpha weights.
+
+    Two scan strategies for the prefix product:
     - ``tril`` given ("log" mode): cumulative sum of log1p(-alpha) along the
       chunk as one triangular matmul on the MXU; the exclusive product
       divides out the own factor.  fp32 log/exp round-trip error is ~1e-7
       relative — far inside tolerances.
     - ``tril is None`` ("linear" mode): Hillis-Steele exclusive prefix
       *product* of (1 - alpha) via log2(chunk) shift-multiplies on the VPU —
-      no transcendentals, no division, no MXU use.  Because the inclusive
-      prefix is monotone non-increasing down the chunk, "before the first
-      terminating instance" is exactly "prefix >= eps", so the first-hit
-      index min-reduction disappears too.
+      no transcendentals, no division, no MXU use.
     """
     om = 1.0 - a_hat
     if tril is None:
@@ -137,39 +150,116 @@ def _composite_step(a_hat, skip, t_in, done_in, eps, tril):
         while s < a_hat.shape[0]:
             p = p * _shift_down(p, s, 1.0)
             s *= 2
-        t_g = t_in * p  # exclusive transmittance per row
-        test_t = t_g * om  # inclusive
-        live = done_in < 0.5
-        below = test_t < eps
-        contrib = jnp.logical_not(skip | below) & live
+        t_g = probe_in * p  # exclusive transmittance per row
+        probe = t_g * om  # inclusive
+        contrib = jnp.logical_not(skip) & (probe >= eps)
         # CUDA leaves T at its value after the last *contributing* row (the
-        # terminating row `continue`s without updating T).  test_t is monotone
+        # terminating row `continue`s without updating T).  probe is monotone
         # non-increasing, so that value is the min over contributing rows —
         # a min-reduction, since Mosaic has no reduce_prod.
         t_out = jnp.minimum(
             t_in,
-            jnp.min(jnp.where(contrib, test_t, _BIG), axis=0, keepdims=True),
+            jnp.min(jnp.where(contrib, probe, _BIG), axis=0, keepdims=True),
         )
-        hit = jnp.max(
-            jnp.where(jnp.logical_not(skip) & below, 1.0, 0.0),
-            axis=0,
-            keepdims=True,
-        )
-        done_out = jnp.maximum(done_in, hit)
-        return contrib, t_g, t_out, done_out
+        probe_out = probe[a_hat.shape[0] - 1 :, :]
+        return contrib, t_g, t_out, probe_out
     log_om = jnp.log1p(-a_hat)  # exact 0 for skipped rows (a_hat == 0)
     csum = jnp.dot(tril, log_om, preferred_element_type=jnp.float32)  # inclusive
-    test_t = t_in * jnp.exp(csum)  # inclusive prefix product
-    t_g = test_t / om  # exclusive (om >= 1 - alpha_max = 0.01)
-    row_b = jax.lax.broadcasted_iota(jnp.int32, a_hat.shape, 0)
-    dmask = jnp.logical_not(skip) & (test_t < eps)
-    fd = jnp.min(jnp.where(dmask, row_b.astype(jnp.float32), _BIG), axis=0, keepdims=True)
-    live = done_in < 0.5  # (1, npix)
-    contrib = jnp.logical_not(skip) & (row_b.astype(jnp.float32) < fd) & live
+    probe = probe_in * jnp.exp(csum)  # inclusive prefix product
+    t_g = probe / om  # exclusive (om >= 1 - alpha_max = 0.01)
+    contrib = jnp.logical_not(skip) & (probe >= eps)
     log_eff = jnp.where(contrib, log_om, 0.0)
     t_out = t_in * jnp.exp(_sum_rows(log_eff))
-    done_out = jnp.maximum(done_in, (fd < _BIG).astype(jnp.float32))
-    return contrib, t_g, t_out, done_out
+    probe_out = probe[a_hat.shape[0] - 1 :, :]
+    return contrib, t_g, t_out, probe_out
+
+
+def _poly_basis(tile_x: int, npix: int):
+    """(npix, 8) tile-local polynomial basis [1, x, y, x^2, xy, y^2, 0, 0].
+
+    Tile-local pixel coordinates are the same small exact integers for every
+    tile, so the basis is compile-time constant (built from iota so it is not
+    captured as a module-scope jnp array).
+    """
+    r = jax.lax.broadcasted_iota(jnp.int32, (npix, 8), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (npix, 8), 1)
+    xl = (r % tile_x).astype(jnp.float32)
+    yl = (r // tile_x).astype(jnp.float32)
+    return jnp.where(
+        c == 0, 1.0,
+        jnp.where(c == 1, xl,
+                  jnp.where(c == 2, yl,
+                            jnp.where(c == 3, xl * xl,
+                                      jnp.where(c == 4, xl * yl,
+                                                jnp.where(c == 5, yl * yl, 0.0))))),
+    )
+
+
+def _instance_grads(
+    rows, px0, py0, in_range, contrib, a_hat, t_g, g_exp, skip,
+    gc0, gc1, gc2, gtotal, pc_in, gct, basis, tril, chunk: int,
+):
+    """Per-instance gradient rows for one chunk: (chunk, 16) + carried prefix.
+
+    The six spatial gradient reductions of backward.cu:515-554 are polynomial
+    moments of one pixel-weight array: with w = [dL/dalpha]*G and local
+    coords dx = (xg - x0) - (px - x0), every sum over pixels of w * poly(dx,
+    dy) expands into the moments S0, Sx, Sy, Sxx, Sxy, Syy of w against the
+    constant tile-local basis — ONE (chunk, npix) @ (npix, 8) MXU matmul —
+    plus per-instance (chunk, 1) recombination.  The per-color grads are a
+    second matmul against the transposed upstream-grad rows.  This replaces
+    nine VPU lane-tree reductions per chunk (the backward's dominant cost;
+    the earlier N<=3 matvec attempt was slower because each matvec ran
+    separately — batched to N=8 the MXU does all of them in one pass).
+
+    Moment expansion reassociates the fp32 arithmetic (tile-local coords keep
+    the basis entries exact integers <= (tile-1)^2, so the cancellation error
+    stays ~1e-5 relative worst-case vs the direct per-pixel products).
+    """
+    col0 = rows[:, 6:7]
+    col1 = rows[:, 7:8]
+    col2 = rows[:, 8:9]
+    gcol = gc0 * col0 + gc1 * col1 + gc2 * col2
+    wat = a_hat * t_g
+    wcomb = jnp.where(contrib, wat * gcol, 0.0)
+    pcc = pc_in + jnp.dot(tril, wcomb, preferred_element_type=jnp.float32)
+    om = 1.0 - a_hat
+    inv_om = 1.0 / om
+    # dL/dalpha_g (backward.cu:515-534): front-to-back form with
+    # S_g = total - P_g(inclusive), gc-combined.  where() (not a cf multiply)
+    # keeps stale-buffer NaN out of the masked rows.
+    dalpha = gcol * t_g - (gtotal - pcc) * inv_om
+    g_safe = jnp.where(skip, 0.0, g_exp)
+    w2 = jnp.where(contrib, dalpha * g_safe, 0.0)
+    wmask = jnp.where(contrib, wat, 0.0)
+    m = _dot32(w2, basis)  # (chunk, 8) moments
+    gsum = _dot32(wmask, gct)  # (chunk, 8): cols 0..2 = dL/dcolor
+    op = rows[:, 5:6]
+    xl = rows[:, 0:1] - px0
+    yl = rows[:, 1:2] - py0
+    ca = rows[:, 2:3]
+    cb = rows[:, 3:4]
+    cc = rows[:, 4:5]
+    s0 = m[:, 0:1]
+    sx = m[:, 1:2]
+    sy = m[:, 2:3]
+    ex = xl * s0 - sx  # sum_pix w2 * dx
+    ey = yl * s0 - sy
+    d_x = -op * (ca * ex + cb * ey)
+    d_y = -op * (cc * ey + cb * ex)
+    d_ca = -0.5 * op * (xl * xl * s0 - 2.0 * xl * sx + m[:, 3:4])
+    d_cb = -op * (xl * yl * s0 - xl * sy - yl * sx + m[:, 4:5])
+    d_cc = -0.5 * op * (yl * yl * s0 - 2.0 * yl * sy + m[:, 5:6])
+    grads = jnp.concatenate(
+        [d_x, d_y, d_ca, d_cb, d_cc, s0, gsum[:, 0:1], gsum[:, 1:2],
+         gsum[:, 2:3], jnp.zeros((chunk, SPLAT_WIDTH - 9), jnp.float32)],
+        axis=1,
+    )  # (chunk, 16)
+    # Rows past the tile's instance count (aligned padding, or chunks this
+    # tile never streamed) can mix stale/NaN scalars into the recombination
+    # products; one masked select keeps them out of the segment sum.
+    grads = jnp.where(in_range, grads, 0.0)
+    return grads, pcc[chunk - 1 :, :]
 
 
 def _group_meta(start_ref, count_ref, g, tb: int, num_tiles: int):
@@ -238,18 +328,18 @@ def _forward_kernel(
     def _():
         issue(0, 0)
 
-    def alldone(done):
-        m = jnp.min(done[0])
+    def anylive(probe):
+        m = jnp.max(probe[0])
         for j in range(1, tb):
-            m = jnp.minimum(m, jnp.min(done[j]))
+            m = jnp.maximum(m, jnp.max(probe[j]))
         return m
 
     def cond(carry):
-        i, _, done, *_ = carry
-        return (i < nchunks) & (alldone(done) < 0.5)
+        i, _, probe, *_ = carry
+        return (i < nchunks) & (anylive(probe) >= eps)
 
     def body(carry):
-        i, t_acc, done, c0, c1, c2, nc = carry
+        i, t_acc, probe, c0, c1, c2, nc = carry
 
         @pl.when(i + 1 < nchunks)
         def _():
@@ -257,8 +347,8 @@ def _forward_kernel(
 
         wait(i % 2, i)
         base = i * chunk
-        t_acc, done, c0, c1, c2, nc = (
-            list(t_acc), list(done), list(c0), list(c1), list(c2), list(nc)
+        t_acc, probe, c0, c1, c2, nc = (
+            list(t_acc), list(probe), list(c0), list(c1), list(c2), list(nc)
         )
         for j in range(tb):
             rows = jnp.transpose(buf[i % 2, :, j])  # (chunk, 16)
@@ -266,8 +356,8 @@ def _forward_kernel(
             a_hat, skip, _, _, _, row = _chunk_geometry(
                 rows, px, py, base, counts[j], alpha_max, alpha_min, chunk
             )
-            contrib, t_g, t_acc[j], done[j] = _composite_step(
-                a_hat, skip, t_acc[j], done[j], eps, tril
+            contrib, t_g, t_acc[j], probe[j] = _composite_step(
+                a_hat, skip, t_acc[j], probe[j], eps, tril
             )
             # Colors are per-instance constants, so the three weighted pixel
             # sums are ONE (3, chunk) @ (chunk, npix) matmul on the (mostly
@@ -286,12 +376,12 @@ def _forward_kernel(
             nc[j] = jnp.maximum(
                 nc[j], jnp.max(jnp.where(contrib, gidx, 0.0), axis=0, keepdims=True)
             )
-        return (i + 1, tuple(t_acc), tuple(done), tuple(c0), tuple(c1),
+        return (i + 1, tuple(t_acc), tuple(probe), tuple(c0), tuple(c1),
                 tuple(c2), tuple(nc))
 
     ones = tuple(jnp.ones((1, npix), jnp.float32) for _ in range(tb))
     zeros = tuple(jnp.zeros((1, npix), jnp.float32) for _ in range(tb))
-    init = (jnp.int32(0), ones, zeros, zeros, zeros, zeros, zeros)
+    init = (jnp.int32(0), ones, ones, zeros, zeros, zeros, zeros)
     ie, t_fin, _, c0, c1, c2, nc = jax.lax.while_loop(cond, body, init)
 
     # Early exit leaves one prefetched chunk wave in flight; drain it so the
@@ -371,8 +461,36 @@ def _backward_kernel(
     def _():
         issue(0, 0)
 
+    basis = _poly_basis(tile_x, npix)
+    # Per-tile loop invariants, hoisted out of the chunk sweep:
+    # - gtotal: dL/dalpha needs only the gc-weighted color sums; by linearity
+    #   one combined prefix replaces three per-color prefixes.
+    # - gct: the upstream-grad rows transposed once per tile for the
+    #   per-color moment matmul of _instance_grads.
+    gcs, gtotals, gcts, origins = [], [], [], []
+    for j in range(tb):
+        gc0 = g_ref[j, 0:1, :]
+        gc1 = g_ref[j, 1:2, :]
+        gc2 = g_ref[j, 2:3, :]
+        gt = g_ref[j, 3:4, :]
+        gcs.append((gc0, gc1, gc2))
+        gtotals.append(
+            gc0 * fwd_ref[j, 0:1, :]
+            + gc1 * fwd_ref[j, 1:2, :]
+            + gc2 * fwd_ref[j, 2:3, :]
+            + gt * fwd_ref[j, 3:4, :]
+        )
+        gcts.append(jnp.transpose(g_ref[j]))  # (npix, 8)
+        tidx = jnp.minimum(g * tb + j, num_tiles - 1)
+        origins.append(
+            (
+                ((tidx % grid_x) * tile_x).astype(jnp.float32),
+                ((tidx // grid_x) * tile_y).astype(jnp.float32),
+            )
+        )
+
     def body(i, carry):
-        t_acc, done, pcs = (list(c) for c in carry)
+        t_acc, probe, pcs = (list(c) for c in carry)
 
         @pl.when(i + 1 < nchunks)
         def _():
@@ -383,80 +501,20 @@ def _backward_kernel(
         for j in range(tb):
             rows = jnp.transpose(buf[i % 2, :, j])  # (chunk, 16)
             px, py = coords[j]
-            t_final = fwd_ref[j, 3:4, :]
-            gc0 = g_ref[j, 0:1, :]
-            gc1 = g_ref[j, 1:2, :]
-            gc2 = g_ref[j, 2:3, :]
-            gt = g_ref[j, 3:4, :]
-            # dL/dalpha needs only the gc-weighted color sums: by linearity
-            # one combined prefix replaces the three per-color prefixes
-            # (1 tril matmul per chunk instead of 3 — the backward was
-            # MXU-bound on these).
-            gtotal = (
-                gc0 * fwd_ref[j, 0:1, :]
-                + gc1 * fwd_ref[j, 1:2, :]
-                + gc2 * fwd_ref[j, 2:3, :]
-                + gt * t_final
-            )
-
-            a_hat, skip, g_exp, dx, dy, _ = _chunk_geometry(
+            gc0, gc1, gc2 = gcs[j]
+            a_hat, skip, g_exp, dx, dy, row = _chunk_geometry(
                 rows, px, py, base, counts[j], alpha_max, alpha_min, chunk
             )
-            contrib, t_g, t_acc[j], done[j] = _composite_step(
-                a_hat, skip, t_acc[j], done[j], eps, step_tril
+            contrib, t_g, t_acc[j], probe[j] = _composite_step(
+                a_hat, skip, t_acc[j], probe[j], eps, step_tril
             )
-            # where() selections guard stale-buffer NaN (see forward kernel).
-            # Elementwise gcol / tree msums / per-color trees measured faster
-            # here than MXU matvec forms: their N<=3 output widths waste the
-            # 128-wide MXU and stall the serial chunk body (+3.7ms on the
-            # 800px train step), unlike the forward's (3,chunk)@(chunk,npix).
-            col0 = rows[:, 6:7]
-            col1 = rows[:, 7:8]
-            col2 = rows[:, 8:9]
-            gcol = gc0 * col0 + gc1 * col1 + gc2 * col2
-            wat = a_hat * t_g  # alpha * T
-            wcomb = jnp.where(contrib, wat * gcol, 0.0)
-            pcc = pcs[j] + jnp.dot(
-                tril, wcomb, preferred_element_type=jnp.float32
+            in_range = (base + row) < counts[j]
+            grads, pcs[j] = _instance_grads(
+                rows, origins[j][0], origins[j][1], in_range, contrib,
+                a_hat, t_g, g_exp, skip, gc0, gc1, gc2, gtotals[j],
+                pcs[j], gcts[j], basis, tril, chunk,
             )
-
-            om = 1.0 - a_hat
-            inv_om = 1.0 / om
-            # dL/dalpha_g (backward.cu:515-534): front-to-back form with
-            # S_g = total - P_g(inclusive), gc-combined.  where() (not a cf
-            # multiply) keeps any stale-buffer NaN out of the masked rows.
-            dalpha = gcol * t_g - (gtotal - pcc) * inv_om
-            dalpha = jnp.where(contrib, dalpha, 0.0)
-            op = rows[:, 5:6]
-            g_safe = jnp.where(skip, 0.0, g_exp)
-            gg = op * dalpha * g_safe
-            ca = rows[:, 2:3]
-            cb = rows[:, 3:4]
-            cc = rows[:, 4:5]
-
-            def msum(x):
-                return jnp.sum(jnp.where(contrib, x, 0.0), axis=1, keepdims=True)
-
-            d_x = msum(gg * (-(ca * dx + cb * dy)))
-            d_y = msum(gg * (-(cc * dy + cb * dx)))
-            d_ca = msum(gg * (-0.5 * dx * dx))
-            d_cb = msum(gg * (-dx * dy))
-            d_cc = msum(gg * (-0.5 * dy * dy))
-            d_op = msum(g_safe * dalpha)
-            # dL/dcolor = alpha * T * gC (backward.cu:521-527) — no color factor
-            wmask = jnp.where(contrib, wat, 0.0)
-            d_c0 = jnp.sum(wmask * gc0, axis=1, keepdims=True)
-            d_c1 = jnp.sum(wmask * gc1, axis=1, keepdims=True)
-            d_c2 = jnp.sum(wmask * gc2, axis=1, keepdims=True)
-
-            grads = jnp.concatenate(
-                [d_x, d_y, d_ca, d_cb, d_cc, d_op, d_c0, d_c1, d_c2,
-                 jnp.zeros((chunk, SPLAT_WIDTH - 9), jnp.float32)],
-                axis=1,
-            )  # (chunk, 16)
             gbuf[:, j] = jnp.transpose(grads)  # (16, chunk)
-            # carry only the chunk-total combined prefix into the next chunk
-            pcs[j] = pcc[chunk - 1 :, :]
 
         for j in range(tb):
             @pl.when(i < nchunks_t[j])
@@ -468,11 +526,11 @@ def _backward_kernel(
                 )
                 wcp.start()
                 wcp.wait()
-        return (tuple(t_acc), tuple(done), tuple(pcs))
+        return (tuple(t_acc), tuple(probe), tuple(pcs))
 
     ones = tuple(jnp.ones((1, npix), jnp.float32) for _ in range(tb))
     zeros = tuple(jnp.zeros((1, npix), jnp.float32) for _ in range(tb))
-    jax.lax.fori_loop(0, nchunks, body, (ones, zeros, zeros))
+    jax.lax.fori_loop(0, nchunks, body, (ones, ones, zeros))
 
 
 @functools.lru_cache(maxsize=None)

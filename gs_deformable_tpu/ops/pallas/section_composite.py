@@ -41,6 +41,8 @@ from .composite import (
     _chunk_geometry,
     _composite_step,
     _dot32,
+    _instance_grads,
+    _poly_basis,
     _tril,
 )
 from .stream_composite import (
@@ -138,9 +140,10 @@ def _section_forward_kernel(
                     def _():
                         acc[f, 0:3, :] = jnp.zeros((3, npix), jnp.float32)
                         acc[f, 3:4, :] = jnp.ones((1, npix), jnp.float32)
-                        acc[f, 4:6, :] = jnp.zeros((2, npix), jnp.float32)
+                        acc[f, 4:5, :] = jnp.zeros((1, npix), jnp.float32)
+                        acc[f, 5:6, :] = jnp.ones((1, npix), jnp.float32)
 
-                    saturated = jnp.min(acc[f, 5:6, :]) > 0.5
+                    saturated = jnp.max(acc[f, 5:6, :]) < eps
 
                     @pl.when(jnp.logical_not(saturated))
                     def _():
@@ -154,7 +157,7 @@ def _section_forward_kernel(
                             rows, px, py, inbase, cnt,
                             alpha_max, alpha_min, chunk,
                         )
-                        contrib, t_g, t_out, done_out = _composite_step(
+                        contrib, t_g, t_out, probe_out = _composite_step(
                             a_hat, skip, acc[f, 3:4, :], acc[f, 5:6, :],
                             eps, tril,
                         )
@@ -172,7 +175,7 @@ def _section_forward_kernel(
                                     0, keepdims=True),
                         )
                         acc[f, 3:4, :] = t_out
-                        acc[f, 5:6, :] = done_out
+                        acc[f, 5:6, :] = probe_out
 
                     @pl.when(inbase + chunk >= cnt)
                     def _():  # tile closes: flush
@@ -245,6 +248,7 @@ def _section_backward_kernel(
     # pcc prefix always on the MXU; transmittance scan is mode-selected.
     tril = _tril(chunk)
     step_tril = tril if scan_mode == "log" else None
+    basis = _poly_basis(tile_x, npix)
 
     def in_dma(slot, f, step):
         return pltpu.make_async_copy(
@@ -332,10 +336,10 @@ def _section_backward_kernel(
                             ]
                             ring_dma(f, k_local + lookahead, nxt).start()
 
-                        state[f, 0:1, :] = jnp.ones((1, npix), jnp.float32)
-                        state[f, 1:3, :] = jnp.zeros((2, npix), jnp.float32)
+                        state[f, 0:2, :] = jnp.ones((2, npix), jnp.float32)
+                        state[f, 2:3, :] = jnp.zeros((1, npix), jnp.float32)
 
-                    saturated = jnp.min(state[f, 1:2, :]) > 0.5
+                    saturated = jnp.max(state[f, 1:2, :]) < eps
 
                     @pl.when(jnp.logical_not(saturated))
                     def _():
@@ -360,63 +364,30 @@ def _section_backward_kernel(
                             + gt * t_final
                         )
 
-                        a_hat, skip, g_exp, dx, dy, _ = _chunk_geometry(
+                        a_hat, skip, g_exp, dx, dy, row = _chunk_geometry(
                             rows, px, py, inbase, cnt,
                             alpha_max, alpha_min, chunk,
                         )
-                        contrib, t_g, t_out, done_out = _composite_step(
+                        contrib, t_g, t_out, probe_out = _composite_step(
                             a_hat, skip, state[f, 0:1, :], state[f, 1:2, :],
                             eps, step_tril,
                         )
-                        # elementwise gcol / tree reductions: N<=3 MXU
-                        # matvecs measured slower (composite.py backward)
-                        col0 = rows[:, 6:7]
-                        col1 = rows[:, 7:8]
-                        col2 = rows[:, 8:9]
-                        gcol = gc0 * col0 + gc1 * col1 + gc2 * col2
-                        wat = a_hat * t_g
-                        wcomb = jnp.where(contrib, wat * gcol, 0.0)
-                        pcc = state[f, 2:3, :] + jnp.dot(
-                            tril, wcomb, preferred_element_type=jnp.float32)
-
-                        om = 1.0 - a_hat
-                        inv_om = 1.0 / om
-                        dalpha = gcol * t_g - (gtotal - pcc) * inv_om
-                        dalpha = jnp.where(contrib, dalpha, 0.0)
-                        op = rows[:, 5:6]
-                        g_safe = jnp.where(skip, 0.0, g_exp)
-                        gg = op * dalpha * g_safe
-                        ca = rows[:, 2:3]
-                        cb = rows[:, 3:4]
-                        cc = rows[:, 4:5]
-
-                        def msum(x):
-                            return jnp.sum(
-                                jnp.where(contrib, x, 0.0), 1, keepdims=True)
-
-                        d_x = msum(gg * (-(ca * dx + cb * dy)))
-                        d_y = msum(gg * (-(cc * dy + cb * dx)))
-                        d_ca = msum(gg * (-0.5 * dx * dx))
-                        d_cb = msum(gg * (-dx * dy))
-                        d_cc = msum(gg * (-0.5 * dy * dy))
-                        d_op = msum(g_safe * dalpha)
-                        wmask = jnp.where(contrib, wat, 0.0)
-                        d_c0 = jnp.sum(wmask * gc0, 1, keepdims=True)
-                        d_c1 = jnp.sum(wmask * gc1, 1, keepdims=True)
-                        d_c2 = jnp.sum(wmask * gc2, 1, keepdims=True)
-
-                        grads = jnp.concatenate(
-                            [d_x, d_y, d_ca, d_cb, d_cc, d_op,
-                             d_c0, d_c1, d_c2,
-                             jnp.zeros((chunk, SPLAT_WIDTH - 9), jnp.float32)],
-                            axis=1,
+                        in_range = (inbase + row) < cnt
+                        x0 = ((owner % grid_x) * tile_x).astype(jnp.float32)
+                        y0 = ((owner // grid_x) * tile_y).astype(jnp.float32)
+                        grads, pcc_out = _instance_grads(
+                            rows, x0, y0, in_range, contrib, a_hat, t_g,
+                            g_exp, skip, gc0, gc1, gc2, gtotal,
+                            state[f, 2:3, :],
+                            jnp.transpose(ring[f, slot, 8:16, :]),
+                            basis, tril, chunk,
                         )
                         gstage[
                             i % 2, f, :, j * chunk : (j + 1) * chunk
                         ] = jnp.transpose(grads)
                         state[f, 0:1, :] = t_out
-                        state[f, 1:2, :] = done_out
-                        state[f, 2:3, :] = pcc[chunk - 1 :, :]
+                        state[f, 1:2, :] = probe_out
+                        state[f, 2:3, :] = pcc_out
 
             out_dma(i % 2, f, i).start()
 

@@ -45,6 +45,8 @@ from .composite import (
     _chunk_geometry,
     _composite_step,
     _dot32,
+    _instance_grads,
+    _poly_basis,
     _tril,
 )
 
@@ -66,7 +68,7 @@ def _stream_forward_kernel(
     ccount_ref,  # (C,) int32: instance count of the owning tile
     splat_ref,   # (16, S*chunk) VMEM block — this step's slice of the stream
     out_ref,     # (T, 8, npix) HBM — written by manual flush DMA
-    acc,         # (8, npix) VMEM scratch: [c0,c1,c2,T,nc,done,-,-]
+    acc,         # (8, npix) VMEM scratch: [c0,c1,c2,T,nc,probe,-,-]
     staging,     # (2, 8, npix) VMEM scratch: flush double buffer
     fmeta,       # (4,) SMEM scratch: [flush_ctr, owner_slot0, owner_slot1, -]
     fsem,        # (2,) DMA semaphores for flushes
@@ -108,9 +110,10 @@ def _stream_forward_kernel(
             def _():
                 acc[0:3, :] = jnp.zeros((3, npix), jnp.float32)
                 acc[3:4, :] = jnp.ones((1, npix), jnp.float32)
-                acc[4:6, :] = jnp.zeros((2, npix), jnp.float32)
+                acc[4:5, :] = jnp.zeros((1, npix), jnp.float32)
+                acc[5:6, :] = jnp.ones((1, npix), jnp.float32)  # probe
 
-            saturated = jnp.min(acc[5:6, :]) > 0.5
+            saturated = jnp.max(acc[5:6, :]) < eps
 
             @pl.when(jnp.logical_not(saturated))
             def _():
@@ -121,7 +124,7 @@ def _stream_forward_kernel(
                 a_hat, skip, _, _, _, row = _chunk_geometry(
                     rows, px, py, inbase, cnt, alpha_max, alpha_min, chunk
                 )
-                contrib, t_g, t_out, done_out = _composite_step(
+                contrib, t_g, t_out, probe_out = _composite_step(
                     a_hat, skip, acc[3:4, :], acc[5:6, :], eps, tril
                 )
                 # One (3, chunk) @ (chunk, npix) MXU matmul for all three
@@ -136,7 +139,7 @@ def _stream_forward_kernel(
                     jnp.max(jnp.where(contrib, gidx, 0.0), 0, keepdims=True),
                 )
                 acc[3:4, :] = t_out
-                acc[5:6, :] = done_out
+                acc[5:6, :] = probe_out
 
             @pl.when(inbase + chunk >= cnt)  # last chunk: flush the tile
             def _():
@@ -172,7 +175,7 @@ def _stream_backward_kernel(
     splat_ref,    # (16, S*chunk) VMEM block
     meta_hbm,     # (T, 16, npix) HBM: rows 0:8 fwd out, 8:16 upstream grads
     dsplat_ref,   # (16, S*chunk) VMEM out block
-    state,        # (8, npix) VMEM scratch: [T,done,pcc,-,-,-,-,-]
+    state,        # (8, npix) VMEM scratch: [T,probe,pcc,-,-,-,-,-]
     ring,         # (4, 16, npix) VMEM scratch: tile-meta DMA ring
     rsem,         # (4,) DMA semaphores for the ring
     *,
@@ -194,6 +197,7 @@ def _stream_backward_kernel(
     # pcc prefix always on the MXU; transmittance scan is mode-selected.
     tril = _tril(chunk)
     step_tril = tril if scan_mode == "log" else None
+    basis = _poly_basis(tile_x, npix)
 
     def ring_dma(k, tile):
         slot = jax.lax.rem(k, 4)
@@ -230,10 +234,10 @@ def _stream_backward_kernel(
                 def _():
                     ring_dma(kopen + lookahead, nxt).start()
 
-                state[0:1, :] = jnp.ones((1, npix), jnp.float32)
-                state[1:3, :] = jnp.zeros((2, npix), jnp.float32)
+                state[0:2, :] = jnp.ones((2, npix), jnp.float32)  # T, probe
+                state[2:3, :] = jnp.zeros((1, npix), jnp.float32)
 
-            saturated = jnp.min(state[1:2, :]) > 0.5
+            saturated = jnp.max(state[1:2, :]) < eps
 
             @pl.when(jnp.logical_not(saturated))
             def _():
@@ -256,58 +260,24 @@ def _stream_backward_kernel(
                     + gt * t_final
                 )
 
-                a_hat, skip, g_exp, dx, dy, _ = _chunk_geometry(
+                a_hat, skip, g_exp, dx, dy, row = _chunk_geometry(
                     rows, px, py, inbase, cnt, alpha_max, alpha_min, chunk
                 )
-                contrib, t_g, t_out, done_out = _composite_step(
+                contrib, t_g, t_out, probe_out = _composite_step(
                     a_hat, skip, state[0:1, :], state[1:2, :], eps, step_tril
                 )
-                # elementwise gcol / tree reductions: N<=3 MXU matvec forms
-                # measured slower here (see composite.py backward note)
-                col0 = rows[:, 6:7]
-                col1 = rows[:, 7:8]
-                col2 = rows[:, 8:9]
-                gcol = gc0 * col0 + gc1 * col1 + gc2 * col2
-                wat = a_hat * t_g
-                wcomb = jnp.where(contrib, wat * gcol, 0.0)
-                pcc = state[2:3, :] + jnp.dot(
-                    tril, wcomb, preferred_element_type=jnp.float32
+                in_range = (inbase + row) < cnt
+                x0 = ((owner % grid_x) * tile_x).astype(jnp.float32)
+                y0 = ((owner // grid_x) * tile_y).astype(jnp.float32)
+                grads, pcc_out = _instance_grads(
+                    rows, x0, y0, in_range, contrib, a_hat, t_g, g_exp,
+                    skip, gc0, gc1, gc2, gtotal, state[2:3, :],
+                    jnp.transpose(ring[slot, 8:16, :]), basis, tril, chunk,
                 )
-
-                om = 1.0 - a_hat
-                inv_om = 1.0 / om
-                dalpha = gcol * t_g - (gtotal - pcc) * inv_om
-                dalpha = jnp.where(contrib, dalpha, 0.0)
-                op = rows[:, 5:6]
-                g_safe = jnp.where(skip, 0.0, g_exp)
-                gg = op * dalpha * g_safe
-                ca = rows[:, 2:3]
-                cb = rows[:, 3:4]
-                cc = rows[:, 4:5]
-
-                def msum(x):
-                    return jnp.sum(jnp.where(contrib, x, 0.0), 1, keepdims=True)
-
-                d_x = msum(gg * (-(ca * dx + cb * dy)))
-                d_y = msum(gg * (-(cc * dy + cb * dx)))
-                d_ca = msum(gg * (-0.5 * dx * dx))
-                d_cb = msum(gg * (-dx * dy))
-                d_cc = msum(gg * (-0.5 * dy * dy))
-                d_op = msum(g_safe * dalpha)
-                wmask = jnp.where(contrib, wat, 0.0)
-                d_c0 = jnp.sum(wmask * gc0, 1, keepdims=True)
-                d_c1 = jnp.sum(wmask * gc1, 1, keepdims=True)
-                d_c2 = jnp.sum(wmask * gc2, 1, keepdims=True)
-
-                grads = jnp.concatenate(
-                    [d_x, d_y, d_ca, d_cb, d_cc, d_op, d_c0, d_c1, d_c2,
-                     jnp.zeros((chunk, SPLAT_WIDTH - 9), jnp.float32)],
-                    axis=1,
-                )  # (chunk, 16)
                 dsplat_ref[:, j * chunk : (j + 1) * chunk] = jnp.transpose(grads)
                 state[0:1, :] = t_out
-                state[1:2, :] = done_out
-                state[2:3, :] = pcc[chunk - 1 :, :]
+                state[1:2, :] = probe_out
+                state[2:3, :] = pcc_out
 
 
 def _chunk_tables(tile_chunk_start, tile_count, *, chunk: int, c_padded: int):

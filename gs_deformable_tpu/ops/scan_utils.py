@@ -36,6 +36,15 @@ def _triu_ones(n: int):
     return jnp.asarray(_triu_ones_np(n))
 
 
+@functools.lru_cache(maxsize=None)
+def _tril_ones_np(n: int):
+    return np.tril(np.ones((n, n), np.float32))
+
+
+def _tril_ones(n: int):
+    return jnp.asarray(_tril_ones_np(n))
+
+
 def _pad_to(x: jnp.ndarray, m: int) -> jnp.ndarray:
     n = x.shape[0]
     pad = (-n) % m
@@ -64,6 +73,68 @@ def cumsum_f32(x: jnp.ndarray) -> jnp.ndarray:
 def cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
     """Exact int32 inclusive cumsum (values must keep the total < 2^24)."""
     return cumsum_f32(x).astype(jnp.int32)
+
+
+def cumsum_cols_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Column-wise inclusive cumsum along axis 0 of (N, C), blocked on the MXU.
+
+    Same recursion as cumsum_f32 but batched over C independent columns:
+    blocks of 128 rows scan via one broadcast (1,128,128) @ (nb,128,C)
+    batched triangular matmul; block carries recurse on the per-block totals.
+    """
+    n, c = x.shape
+    x = x.astype(jnp.float32)
+    pad = (-n) % _LANES
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    nb = x.shape[0] // _LANES
+    xb = x.reshape(nb, _LANES, c)
+    w = jnp.matmul(
+        _tril_ones(_LANES)[None], xb, preferred_element_type=jnp.float32
+    )  # (nb, 128, C) within-block inclusive
+    if nb > 1:
+        totals = w[:, -1, :]  # (nb, C)
+        carry = cumsum_cols_f32(totals) - totals  # exclusive block offsets
+        w = w + carry[:, None, :]
+    return w.reshape(nb * _LANES, c)[:n]
+
+
+def counting_sort_dest(digits: jnp.ndarray, c_width: int) -> jnp.ndarray:
+    """Stable counting-sort destination of each element, by digit value.
+
+    ``digits``: (K,) int32 in [0, c_width).  Returns (K,) int32 positions such
+    that scattering x to dest orders x by digit, ties in original order — one
+    LSD radix pass.  All counting rides blocked MXU cumsums (exact in fp32
+    while K < 2^24); no gathers, no lax.sort, and (unlike the XLA TPU sort,
+    whose compiled code grows with the input length) O(1) compiled code.
+    """
+    k = digits.shape[0]
+    assert k < (1 << 24), "fp32 counting is exact only below 2^24 elements"
+    cols = jnp.arange(c_width, dtype=jnp.int32)
+    onehot = (digits[:, None] == cols[None, :]).astype(jnp.float32)  # (K, C)
+    incl = cumsum_cols_f32(onehot)  # running per-digit counts
+    totals = incl[-1]  # (C,)
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(totals)[:-1]])
+    # select own digit's column: dest = offs[digit] + (incl count - 1)
+    dest = jnp.sum(onehot * (incl + (offs - 1.0)[None, :]), axis=1)
+    return dest.astype(jnp.int32)
+
+
+def radix_sort_u32(keys: jnp.ndarray, payloads, *, bits: int, digit_bits: int):
+    """Stable LSD radix sort of uint32 keys with int32 payloads.
+
+    Returns (keys_sorted, payloads_sorted).  Compiled-code-size-safe
+    replacement for jax.lax.sort (see counting_sort_dest).
+    """
+    mask = jnp.uint32((1 << digit_bits) - 1)
+    for shift in range(0, bits, digit_bits):
+        d = ((keys >> jnp.uint32(shift)) & mask).astype(jnp.int32)
+        dest = counting_sort_dest(d, 1 << digit_bits)
+        keys = jnp.zeros_like(keys).at[dest].set(keys, mode="drop")
+        payloads = [
+            jnp.zeros_like(p).at[dest].set(p, mode="drop") for p in payloads
+        ]
+    return keys, payloads
 
 
 def cummax_i32(x: jnp.ndarray) -> jnp.ndarray:

@@ -129,6 +129,49 @@ def test_binning_packed_mode_agrees_without_ties(rng):
         np.asarray(outs[0].tile_count), np.asarray(outs[1].tile_count))
 
 
+@pytest.mark.parametrize("zero_run,ties", [(False, False), (True, True)])
+def test_binning_radix_mode_bitwise_matches_exact(rng, zero_run, ties):
+    # The counting-sort path (no lax.sort; compile-size-safe under the
+    # remote-AOT executable cap) must reproduce the exact CUB order
+    # bit-for-bit, including emission-order tiebreaks on equal depths.
+    grid_x, grid_y, chunk, cap = 7, 5, 8, 1024
+    tt, rect, depths = make_inputs(rng, 300, grid_x, grid_y, zero_run, ties)
+    outs = [
+        bin_gaussians(
+            jnp.asarray(tt), jnp.asarray(rect), jnp.asarray(depths),
+            grid_x=grid_x, grid_y=grid_y, capacity=cap, chunk=chunk,
+            sort_mode=mode,
+        )
+        for mode in ("exact", "radix")
+    ]
+    gid_ref, cs_ref, cnt_ref, req_ref = numpy_binning(
+        tt, rect, depths, grid_x, grid_y, cap, chunk)
+    for b in outs:
+        assert int(b.required) == req_ref
+        np.testing.assert_array_equal(np.asarray(b.tile_count), cnt_ref)
+        np.testing.assert_array_equal(np.asarray(b.tile_chunk_start), cs_ref)
+    mask = np.zeros(len(gid_ref), bool)
+    for t in range(grid_x * grid_y):
+        s = cs_ref[t] * chunk
+        mask[s : s + cnt_ref[t]] = True
+    np.testing.assert_array_equal(
+        np.asarray(outs[0].gid)[mask], np.asarray(outs[1].gid)[mask])
+
+
+def test_radix_sort_u32_stable(rng):
+    from gs_deformable_tpu.ops.scan_utils import radix_sort_u32
+
+    n = 5000
+    keys = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    keys[:: 7] = 12345  # duplicates -> stability check via payload order
+    idx = np.arange(n, dtype=np.int32)
+    ks, (ps,) = radix_sort_u32(
+        jnp.asarray(keys), (jnp.asarray(idx),), bits=32, digit_bits=8)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(ks), keys[order])
+    np.testing.assert_array_equal(np.asarray(ps), idx[order])
+
+
 def test_take_searchsorted_matches_numpy(rng):
     for n, q in [(1, 5), (100, 17), (4096, 4097), (100000, 3)]:
         table = np.sort(rng.integers(0, 1 << 30, n).astype(np.uint32))
