@@ -181,11 +181,14 @@ def main():
 
     ts_dev = jax.block_until_ready(jax.device_put(ts))
     t0 = time.time()
+    # step donates its state arg — ts_dev is consumed by the warmup; the
+    # timing loop must chain from the warmup's OUTPUT (reusing a donated
+    # buffer surfaces as a runtime INVALID_ARGUMENT through the tunnel).
     ts2, m = step(ts_dev, cam_t, gt, jnp.zeros(3), jnp.asarray(5000))
     float(m["loss"])
     print(f"train compile {time.time()-t0:.0f}s", flush=True)
     t0 = time.time()
-    cur = ts_dev
+    cur = ts2
     for i in range(ITERS):
         cur, m = step(cur, cam_t, gt, jnp.zeros(3), jnp.asarray(5001 + i))
     float(m["loss"])
