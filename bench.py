@@ -25,7 +25,8 @@ import time
 import numpy as np
 
 
-def run_at_scale(n, cap, instance_capacity, aligned_slack=-1):
+def run_at_scale(n, cap, instance_capacity, aligned_slack=-1,
+                 train_instance_capacity=None, train_aligned_slack=-1):
     import jax
     import jax.numpy as jnp
 
@@ -124,8 +125,16 @@ def run_at_scale(n, cap, instance_capacity, aligned_slack=-1):
     try:
         Wt = Ht = 800
         cam_t, tx, ty = camera(Wt, Ht)
+        # The 800x800 frame bins ~2.3x fewer instances than 1080p; a separate
+        # snug budget keeps every K/Kp-proportional stage (fills, sort, splat
+        # gather, grad segment-sum) sized to the train workload.
+        cfg_t = cfg
+        if train_instance_capacity is not None:
+            cfg_t = Config(raster=RasterizeConfig(
+                instance_capacity=train_instance_capacity, chunk=128,
+                aligned_slack=train_aligned_slack))
         step = training.make_train_step(
-            cfg, width=Wt, height=Ht, tan_fovx=tx, tan_fovy=ty,
+            cfg_t, width=Wt, height=Ht, tan_fovx=tx, tan_fovy=ty,
             active_sh_degree=3, spatial_lr_scale=1.0,
         )
         gt = jnp.asarray(rng.uniform(0, 1, (3, Ht, Wt)), jnp.float32)
@@ -135,6 +144,16 @@ def run_at_scale(n, cap, instance_capacity, aligned_slack=-1):
         jax.block_until_ready(m["loss"])
         float(m["loss"])
         train_compile_s = time.time() - t0
+        from gs_deformable_tpu.ops.binning import aligned_capacity as _ac
+        kp_t = _ac(cfg_t.raster.instance_capacity, (Wt // 16) * (Ht // 16),
+                   cfg_t.raster.chunk, cfg_t.raster.aligned_slack)
+        if (int(m["required_instances"]) > cfg_t.raster.instance_capacity
+                or int(m["required_aligned"]) > kp_t):
+            raise RuntimeError(
+                f"train capacity overflow (required "
+                f"{int(m['required_instances'])} / "
+                f"{cfg_t.raster.instance_capacity}, aligned "
+                f"{int(m['required_aligned'])} / {kp_t})")
         iters_t = 10
         t0 = time.time()
         for i in range(iters_t):
@@ -158,26 +177,31 @@ def run_at_scale(n, cap, instance_capacity, aligned_slack=-1):
 def main():
     import jax
 
-    # (gaussians, param capacity, instance capacity): largest-first; the
-    # remote-compile AOT path (backend "axon") cannot serialize the 1M-
-    # instance sort's executable, so start it at a scale that fits.
-    # (gaussians, param capacity, instance capacity, aligned slack): the
-    # primary scale budgets the instance sort and the chunk-aligned padding
-    # snugly (measured: required ~754k instances, ~640k padding rows at this
-    # scene); the fallbacks stay conservative.
+    # (gaussians, param capacity, render instance capacity, render aligned
+    # slack, train instance capacity, train aligned slack): largest-first;
+    # the remote-compile AOT path (backend "axon") cannot serialize the 1M-
+    # instance sort's executable, so start it at a scale that fits.  The
+    # primary scale budgets both workloads snugly against exact CPU-measured
+    # needs (1080p render: 538,347 instances / 1,208,448 aligned rows;
+    # 800x800 train: 230,836 / 425,472 — tools: /tmp-style counts probe),
+    # each with a few % headroom for fp drift; the fallbacks stay
+    # conservative.  Overflow raises (surfaced counters), falling back.
     scales = [
-        (100_000, 131_072, 832 * 1024, 736 * 1024),
-        (100_000, 131_072, 1 << 20, -1),
-        (40_000, 65_536, 384 * 1024, -1),
-        (20_000, 32_768, 192 * 1024, -1),
+        (100_000, 131_072, 576 * 1024, 640 * 1024, 256 * 1024, 176 * 1024),
+        (100_000, 131_072, 832 * 1024, 736 * 1024, None, -1),
+        (100_000, 131_072, 1 << 20, -1, None, -1),
+        (40_000, 65_536, 384 * 1024, -1, None, -1),
+        (20_000, 32_768, 192 * 1024, -1, None, -1),
     ]
     if jax.default_backend() == "axon":
-        scales = scales[1:]
+        scales = scales[2:]
 
     last_err = None
-    for n, cap, icap, slack in scales:
+    for n, cap, icap, slack, t_icap, t_slack in scales:
         try:
-            result = run_at_scale(n, cap, icap, slack)
+            result = run_at_scale(n, cap, icap, slack,
+                                  train_instance_capacity=t_icap,
+                                  train_aligned_slack=t_slack)
             print(json.dumps(result))
             return
         except Exception as e:

@@ -28,10 +28,9 @@ re-design for TPU:
   dL/dalpha only ever consumes Sum_c gc_c * S_c, so by linearity ONE combined
   prefix of gc-weighted colors replaces three per-color prefixes (the
   backward was MXU-bound on those matmuls).
-- The backward's nine per-instance pixel reductions (six spatial grads, the
-  opacity grad, three color grads) are polynomial moments of two weight
-  arrays, evaluated as two narrow MXU matmuls per chunk (_instance_grads)
-  instead of VPU lane-tree reductions.
+- The backward's nine per-instance pixel reductions stay VPU lane-tree
+  reductions: two MXU offloads (narrow matvecs; batched 8-wide moment
+  matmuls) each measured slower on v5e — see _instance_grads.
 
 Field-major splat layout, 16 rows: [x_pix, y_pix, conic_a, conic_b, conic_c,
 opacity, r, g, b, 0...].  Gradient rows mirror it.
@@ -174,47 +173,23 @@ def _composite_step(a_hat, skip, t_in, probe_in, eps, tril):
     return contrib, t_g, t_out, probe_out
 
 
-def _poly_basis(tile_x: int, npix: int):
-    """(npix, 8) tile-local polynomial basis [1, x, y, x^2, xy, y^2, 0, 0].
-
-    Tile-local pixel coordinates are the same small exact integers for every
-    tile, so the basis is compile-time constant (built from iota so it is not
-    captured as a module-scope jnp array).
-    """
-    r = jax.lax.broadcasted_iota(jnp.int32, (npix, 8), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (npix, 8), 1)
-    xl = (r % tile_x).astype(jnp.float32)
-    yl = (r // tile_x).astype(jnp.float32)
-    return jnp.where(
-        c == 0, 1.0,
-        jnp.where(c == 1, xl,
-                  jnp.where(c == 2, yl,
-                            jnp.where(c == 3, xl * xl,
-                                      jnp.where(c == 4, xl * yl,
-                                                jnp.where(c == 5, yl * yl, 0.0))))),
-    )
-
-
 def _instance_grads(
-    rows, px0, py0, in_range, contrib, a_hat, t_g, g_exp, skip,
-    gc0, gc1, gc2, gtotal, pc_in, gct, basis, tril, chunk: int,
+    rows, dx, dy, in_range, contrib, a_hat, t_g, g_exp, skip,
+    gc0, gc1, gc2, gtotal, pc_in, tril, chunk: int,
 ):
     """Per-instance gradient rows for one chunk: (chunk, 16) + carried prefix.
 
-    The six spatial gradient reductions of backward.cu:515-554 are polynomial
-    moments of one pixel-weight array: with w = [dL/dalpha]*G and local
-    coords dx = (xg - x0) - (px - x0), every sum over pixels of w * poly(dx,
-    dy) expands into the moments S0, Sx, Sy, Sxx, Sxy, Syy of w against the
-    constant tile-local basis — ONE (chunk, npix) @ (npix, 8) MXU matmul —
-    plus per-instance (chunk, 1) recombination.  The per-color grads are a
-    second matmul against the transposed upstream-grad rows.  This replaces
-    nine VPU lane-tree reductions per chunk (the backward's dominant cost;
-    the earlier N<=3 matvec attempt was slower because each matvec ran
-    separately — batched to N=8 the MXU does all of them in one pass).
-
-    Moment expansion reassociates the fp32 arithmetic (tile-local coords keep
-    the basis entries exact integers <= (tile-1)^2, so the cancellation error
-    stays ~1e-5 relative worst-case vs the direct per-pixel products).
+    The nine per-instance pixel reductions (six spatial grads, opacity grad,
+    three color grads — backward.cu:515-554) run as VPU lane-tree reductions
+    over the pixel axis.  Two MXU alternatives were measured SLOWER on v5e
+    and reverted with notes: per-grad N<=3 matvecs (+3.7 ms on the 800px
+    train step — narrow outputs waste the 128-wide MXU and stall the serial
+    chunk body) and a batched 8-wide polynomial-moment matmul pair (+2.0 ms
+    at 1080p/430k instances, measured same-process old-vs-new; the moment
+    expansion also reassociates the fp32 sums ~1e-5 away from the CUDA
+    per-pixel products).  Only the combined gc-weighted prefix (pcc) rides
+    the MXU — dL/dalpha consumes just the gc-weighted suffix color sums, so
+    by linearity ONE triangular-matmul prefix replaces three per-color ones.
     """
     col0 = rows[:, 6:7]
     col1 = rows[:, 7:8]
@@ -229,35 +204,36 @@ def _instance_grads(
     # S_g = total - P_g(inclusive), gc-combined.  where() (not a cf multiply)
     # keeps stale-buffer NaN out of the masked rows.
     dalpha = gcol * t_g - (gtotal - pcc) * inv_om
-    g_safe = jnp.where(skip, 0.0, g_exp)
-    w2 = jnp.where(contrib, dalpha * g_safe, 0.0)
-    wmask = jnp.where(contrib, wat, 0.0)
-    m = _dot32(w2, basis)  # (chunk, 8) moments
-    gsum = _dot32(wmask, gct)  # (chunk, 8): cols 0..2 = dL/dcolor
+    dalpha = jnp.where(contrib, dalpha, 0.0)
     op = rows[:, 5:6]
-    xl = rows[:, 0:1] - px0
-    yl = rows[:, 1:2] - py0
+    g_safe = jnp.where(skip, 0.0, g_exp)
+    gg = op * dalpha * g_safe
     ca = rows[:, 2:3]
     cb = rows[:, 3:4]
     cc = rows[:, 4:5]
-    s0 = m[:, 0:1]
-    sx = m[:, 1:2]
-    sy = m[:, 2:3]
-    ex = xl * s0 - sx  # sum_pix w2 * dx
-    ey = yl * s0 - sy
-    d_x = -op * (ca * ex + cb * ey)
-    d_y = -op * (cc * ey + cb * ex)
-    d_ca = -0.5 * op * (xl * xl * s0 - 2.0 * xl * sx + m[:, 3:4])
-    d_cb = -op * (xl * yl * s0 - xl * sy - yl * sx + m[:, 4:5])
-    d_cc = -0.5 * op * (yl * yl * s0 - 2.0 * yl * sy + m[:, 5:6])
+
+    def msum(x):
+        return jnp.sum(jnp.where(contrib, x, 0.0), axis=1, keepdims=True)
+
+    d_x = msum(gg * (-(ca * dx + cb * dy)))
+    d_y = msum(gg * (-(cc * dy + cb * dx)))
+    d_ca = msum(gg * (-0.5 * dx * dx))
+    d_cb = msum(gg * (-dx * dy))
+    d_cc = msum(gg * (-0.5 * dy * dy))
+    d_op = msum(g_safe * dalpha)
+    # dL/dcolor = alpha * T * gC (backward.cu:521-527) — no color factor
+    wmask = jnp.where(contrib, wat, 0.0)
+    d_c0 = jnp.sum(wmask * gc0, axis=1, keepdims=True)
+    d_c1 = jnp.sum(wmask * gc1, axis=1, keepdims=True)
+    d_c2 = jnp.sum(wmask * gc2, axis=1, keepdims=True)
     grads = jnp.concatenate(
-        [d_x, d_y, d_ca, d_cb, d_cc, s0, gsum[:, 0:1], gsum[:, 1:2],
-         gsum[:, 2:3], jnp.zeros((chunk, SPLAT_WIDTH - 9), jnp.float32)],
+        [d_x, d_y, d_ca, d_cb, d_cc, d_op, d_c0, d_c1, d_c2,
+         jnp.zeros((chunk, SPLAT_WIDTH - 9), jnp.float32)],
         axis=1,
     )  # (chunk, 16)
     # Rows past the tile's instance count (aligned padding, or chunks this
-    # tile never streamed) can mix stale/NaN scalars into the recombination
-    # products; one masked select keeps them out of the segment sum.
+    # tile never streamed) can mix stale/NaN scalars into the products; one
+    # masked select keeps them out of the segment sum.
     grads = jnp.where(in_range, grads, 0.0)
     return grads, pcc[chunk - 1 :, :]
 
@@ -461,13 +437,10 @@ def _backward_kernel(
     def _():
         issue(0, 0)
 
-    basis = _poly_basis(tile_x, npix)
-    # Per-tile loop invariants, hoisted out of the chunk sweep:
-    # - gtotal: dL/dalpha needs only the gc-weighted color sums; by linearity
-    #   one combined prefix replaces three per-color prefixes.
-    # - gct: the upstream-grad rows transposed once per tile for the
-    #   per-color moment matmul of _instance_grads.
-    gcs, gtotals, gcts, origins = [], [], [], []
+    # Per-tile loop invariant, hoisted out of the chunk sweep: dL/dalpha
+    # needs only the gc-weighted color sums; by linearity one combined
+    # prefix replaces three per-color prefixes.
+    gcs, gtotals = [], []
     for j in range(tb):
         gc0 = g_ref[j, 0:1, :]
         gc1 = g_ref[j, 1:2, :]
@@ -479,14 +452,6 @@ def _backward_kernel(
             + gc1 * fwd_ref[j, 1:2, :]
             + gc2 * fwd_ref[j, 2:3, :]
             + gt * fwd_ref[j, 3:4, :]
-        )
-        gcts.append(jnp.transpose(g_ref[j]))  # (npix, 8)
-        tidx = jnp.minimum(g * tb + j, num_tiles - 1)
-        origins.append(
-            (
-                ((tidx % grid_x) * tile_x).astype(jnp.float32),
-                ((tidx // grid_x) * tile_y).astype(jnp.float32),
-            )
         )
 
     def body(i, carry):
@@ -510,9 +475,9 @@ def _backward_kernel(
             )
             in_range = (base + row) < counts[j]
             grads, pcs[j] = _instance_grads(
-                rows, origins[j][0], origins[j][1], in_range, contrib,
+                rows, dx, dy, in_range, contrib,
                 a_hat, t_g, g_exp, skip, gc0, gc1, gc2, gtotals[j],
-                pcs[j], gcts[j], basis, tril, chunk,
+                pcs[j], tril, chunk,
             )
             gbuf[:, j] = jnp.transpose(grads)  # (16, chunk)
 

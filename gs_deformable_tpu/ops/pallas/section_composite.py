@@ -42,7 +42,6 @@ from .composite import (
     _composite_step,
     _dot32,
     _instance_grads,
-    _poly_basis,
     _tril,
 )
 from .stream_composite import (
@@ -248,7 +247,6 @@ def _section_backward_kernel(
     # pcc prefix always on the MXU; transmittance scan is mode-selected.
     tril = _tril(chunk)
     step_tril = tril if scan_mode == "log" else None
-    basis = _poly_basis(tile_x, npix)
 
     def in_dma(slot, f, step):
         return pltpu.make_async_copy(
@@ -373,14 +371,10 @@ def _section_backward_kernel(
                             eps, step_tril,
                         )
                         in_range = (inbase + row) < cnt
-                        x0 = ((owner % grid_x) * tile_x).astype(jnp.float32)
-                        y0 = ((owner // grid_x) * tile_y).astype(jnp.float32)
                         grads, pcc_out = _instance_grads(
-                            rows, x0, y0, in_range, contrib, a_hat, t_g,
+                            rows, dx, dy, in_range, contrib, a_hat, t_g,
                             g_exp, skip, gc0, gc1, gc2, gtotal,
-                            state[f, 2:3, :],
-                            jnp.transpose(ring[f, slot, 8:16, :]),
-                            basis, tril, chunk,
+                            state[f, 2:3, :], tril, chunk,
                         )
                         gstage[
                             i % 2, f, :, j * chunk : (j + 1) * chunk

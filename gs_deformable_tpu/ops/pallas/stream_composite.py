@@ -46,7 +46,6 @@ from .composite import (
     _composite_step,
     _dot32,
     _instance_grads,
-    _poly_basis,
     _tril,
 )
 
@@ -197,7 +196,6 @@ def _stream_backward_kernel(
     # pcc prefix always on the MXU; transmittance scan is mode-selected.
     tril = _tril(chunk)
     step_tril = tril if scan_mode == "log" else None
-    basis = _poly_basis(tile_x, npix)
 
     def ring_dma(k, tile):
         slot = jax.lax.rem(k, 4)
@@ -267,12 +265,9 @@ def _stream_backward_kernel(
                     a_hat, skip, state[0:1, :], state[1:2, :], eps, step_tril
                 )
                 in_range = (inbase + row) < cnt
-                x0 = ((owner % grid_x) * tile_x).astype(jnp.float32)
-                y0 = ((owner // grid_x) * tile_y).astype(jnp.float32)
                 grads, pcc_out = _instance_grads(
-                    rows, x0, y0, in_range, contrib, a_hat, t_g, g_exp,
-                    skip, gc0, gc1, gc2, gtotal, state[2:3, :],
-                    jnp.transpose(ring[slot, 8:16, :]), basis, tril, chunk,
+                    rows, dx, dy, in_range, contrib, a_hat, t_g, g_exp,
+                    skip, gc0, gc1, gc2, gtotal, state[2:3, :], tril, chunk,
                 )
                 dsplat_ref[:, j * chunk : (j + 1) * chunk] = jnp.transpose(grads)
                 state[0:1, :] = t_out
