@@ -73,7 +73,11 @@ def _linear(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
     return (
-        jnp.dot(x, w, preferred_element_type=jnp.float32) + b.astype(jnp.float32)
+        jnp.dot(
+            x, w, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + b.astype(jnp.float32)
     )
 
 
@@ -212,7 +216,8 @@ def deform_se3(
         screw = jnp.concatenate([w / safe, v / safe], axis=-1)
         transform = rigid.exp_se3(screw, theta)
         moved = rigid.from_homogenous(
-            jnp.einsum("nij,nj->ni", transform, rigid.to_homogenous(xyz))
+            jnp.einsum("nij,nj->ni", transform, rigid.to_homogenous(xyz),
+                       precision=jax.lax.Precision.HIGHEST)
         )
         return moved
 

@@ -286,7 +286,8 @@ def densify_and_prune(
     samples = jax.random.normal(key, (cap, N, 3)) * act_scaling[:, None, :]
     rotn = state.rotation / jnp.linalg.norm(state.rotation, axis=-1, keepdims=True)
     R = quat_to_rotmat(rotn)  # (P, 3, 3)
-    offsets = jnp.einsum("pij,pnj->pni", R, samples)
+    offsets = jnp.einsum("pij,pnj->pni", R, samples,
+                         precision=jax.lax.Precision.HIGHEST)
     child_xyz = state.xyz[:, None, :] + offsets  # (P, 2, 3)
     child_scaling = jnp.log(act_scaling / (0.8 * N))
 

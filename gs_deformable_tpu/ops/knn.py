@@ -67,7 +67,11 @@ def mean_sq_dist_knn3(points: jnp.ndarray, block: int = 512) -> jnp.ndarray:
     def per_block(args):
         bp, bsq, bidx = args
         # d2[i, j] = |x_i|^2 + |y_j|^2 - 2 <x_i, y_j> — MXU matmul, no 3D temp.
-        cross = bp @ pts.T  # (block, Np)
+        # HIGHEST: TPU's default bf16 matmul pass rounds coordinates ~2^-8,
+        # which perturbs nearest-neighbor distances (init-time only op).
+        cross = jnp.matmul(
+            bp, pts.T, precision=jax.lax.Precision.HIGHEST
+        )  # (block, Np)
         d2 = bsq[:, None] + sq[None, :] - 2.0 * cross
         d2 = jnp.where(valid[None, :], d2, jnp.inf)
         # exclude self by index (robust to duplicate points)

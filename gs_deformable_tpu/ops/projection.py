@@ -26,6 +26,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# TPU's default matmul precision is ONE bf16 pass; these matvecs carry
+# world positions and camera matrices where 2^-8 relative rounding moves
+# splats by pixels.  HIGHEST = full fp32 (matches the CUDA reference).
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+def _mv(a, b):
+    return jnp.matmul(a, b, precision=_EXACT)
+
 NEAR_Z = 0.2
 W_EPS = 1e-7
 LOWPASS = 0.3
@@ -61,7 +70,7 @@ def mark_visible(
     signature parity and unused, as in the reference.
     """
     del projmatrix
-    p_view_z = means3d @ viewmatrix[:3, 2] + viewmatrix[3, 2]
+    p_view_z = _mv(means3d, viewmatrix[:3, 2]) + viewmatrix[3, 2]
     return p_view_z > NEAR_Z
 
 
@@ -173,7 +182,7 @@ def compute_cov2d(
       viewmatrix: (4, 4) row-vector world->view transform (cameras.py:55).
     Returns: (P, 3) packed [c00, c01, c11] *after* the +0.3 low-pass.
     """
-    t = means3d @ viewmatrix[:3, :3] + viewmatrix[3, :3]
+    t = _mv(means3d, viewmatrix[:3, :3]) + viewmatrix[3, :3]
     tz = t[:, 2]
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
@@ -252,11 +261,11 @@ def preprocess(
     grid_y = (height + tile_y - 1) // tile_y
 
     # Near culling (auxiliary.h:139-164).
-    p_view_z = means3d @ viewmatrix[:3, 2] + viewmatrix[3, 2]
+    p_view_z = _mv(means3d, viewmatrix[:3, 2]) + viewmatrix[3, 2]
     in_front = p_view_z > NEAR_Z
 
     # Projection (forward.cu:197-200).
-    p_hom = means3d @ projmatrix[:3, :] + projmatrix[3, :]
+    p_hom = _mv(means3d, projmatrix[:3, :]) + projmatrix[3, :]
     p_w = 1.0 / (p_hom[:, 3] + W_EPS)
     ndc = p_hom[:, :2] * p_w[:, None]
 

@@ -9,6 +9,7 @@ screw axis is normalized by theta = |w|, and ``exp_se3`` integrates it into a
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -34,7 +35,8 @@ def exp_so3(w: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
     W = skew(w)
     th = theta[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return eye + jnp.sin(th) * W + (1.0 - jnp.cos(th)) * (W @ W)
+    WW = jnp.matmul(W, W, precision=jax.lax.Precision.HIGHEST)
+    return eye + jnp.sin(th) * W + (1.0 - jnp.cos(th)) * WW
 
 
 def rp_to_se3(R: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
@@ -58,8 +60,10 @@ def exp_se3(S: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
     R = exp_so3(w, theta)
     th = theta[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=S.dtype), W.shape)
-    V = th * eye + (1.0 - jnp.cos(th)) * W + (th - jnp.sin(th)) * (W @ W)
-    p = (V @ v[..., :, None])[..., 0]
+    WW = jnp.matmul(W, W, precision=jax.lax.Precision.HIGHEST)
+    V = th * eye + (1.0 - jnp.cos(th)) * W + (th - jnp.sin(th)) * WW
+    p = jnp.matmul(V, v[..., :, None],
+                   precision=jax.lax.Precision.HIGHEST)[..., 0]
     return rp_to_se3(R, p)
 
 

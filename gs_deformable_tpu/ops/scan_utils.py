@@ -25,6 +25,22 @@ import numpy as np
 
 _LANES = 128
 
+# These matmuls carry INTEGER values (counts, offsets, bit-packed fields) in
+# fp32 lanes; exactness below 2^24 is the whole contract.  TPU's DEFAULT
+# matmul precision rounds fp32 operands to ONE bf16 pass (8 mantissa bits):
+# every carried value above 2^8 silently loses low bits — measured corrupting
+# the entire binning layout at bench scale (tile counts summed to 6,422 for a
+# 427,748-instance frame) while all CPU tests stayed green (CPU matmuls are
+# exact at any precision).  HIGHEST forces the full-precision multi-pass
+# lowering; these cumsum matmuls are a tiny fraction of frame time.
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+def _dot_exact(a, b):
+    return jnp.dot(
+        a, b, precision=_EXACT, preferred_element_type=jnp.float32
+    )
+
 
 @functools.lru_cache(maxsize=None)
 def _triu_ones_np(n: int):
@@ -58,12 +74,12 @@ def cumsum_f32(x: jnp.ndarray) -> jnp.ndarray:
     n = x.shape[0]
     if n <= _LANES:
         xp = _pad_to(x.astype(jnp.float32), _LANES)
-        out = (xp[None, :] @ _triu_ones(_LANES))[0]
+        out = _dot_exact(xp[None, :], _triu_ones(_LANES))[0]
         return out[:n]
     xp = _pad_to(x.astype(jnp.float32), _LANES)
     rows = xp.shape[0] // _LANES
     m = xp.reshape(rows, _LANES)
-    within = jnp.dot(m, _triu_ones(_LANES), preferred_element_type=jnp.float32)
+    within = _dot_exact(m, _triu_ones(_LANES))
     totals = within[:, -1]
     carry = cumsum_f32(totals) - totals  # exclusive row offsets
     out = within + carry[:, None]
@@ -90,7 +106,8 @@ def cumsum_cols_f32(x: jnp.ndarray) -> jnp.ndarray:
     nb = x.shape[0] // _LANES
     xb = x.reshape(nb, _LANES, c)
     w = jnp.matmul(
-        _tril_ones(_LANES)[None], xb, preferred_element_type=jnp.float32
+        _tril_ones(_LANES)[None], xb, precision=_EXACT,
+        preferred_element_type=jnp.float32,
     )  # (nb, 128, C) within-block inclusive
     if nb > 1:
         totals = w[:, -1, :]  # (nb, C)
