@@ -127,12 +127,21 @@ def run_at_scale(n, cap, instance_capacity, aligned_slack=-1,
         cam_t, tx, ty = camera(Wt, Ht)
         # The 800x800 frame bins ~2.3x fewer instances than 1080p; a separate
         # snug budget keeps every K/Kp-proportional stage (fills, sort, splat
-        # gather, grad segment-sum) sized to the train workload.
-        cfg_t = cfg
+        # gather, grad segment-sum) sized to the train workload.  Learning
+        # rates are zeroed so the measured steps run the FULL fwd+bwd+Adam
+        # computation on a pinned workload: with live LRs this synthetic
+        # scene's splats grow ~2x in instances within 10 steps, which both
+        # drifts the metric and can overflow the snug capacity mid-run.
+        from gs_deformable_tpu.config import OptimizationConfig
+        opt0 = OptimizationConfig(
+            position_lr_init=0.0, position_lr_final=0.0, offset_lr_init=0.0,
+            offset_lr_final=0.0, feature_lr=0.0, opacity_lr=0.0,
+            scaling_lr=0.0, rotation_lr=0.0)
+        cfg_t = Config(raster=cfg.raster, opt=opt0)
         if train_instance_capacity is not None:
             cfg_t = Config(raster=RasterizeConfig(
                 instance_capacity=train_instance_capacity, chunk=128,
-                aligned_slack=train_aligned_slack))
+                aligned_slack=train_aligned_slack), opt=opt0)
         step = training.make_train_step(
             cfg_t, width=Wt, height=Ht, tan_fovx=tx, tan_fovy=ty,
             active_sh_degree=3, spatial_lr_scale=1.0,

@@ -105,7 +105,13 @@ class RasterizeConfig:
     # "section" advances F independent tile-boundary-aligned sections of the
     # chunk stream per grid step (ops/pallas/section_composite.py) — F-way
     # ILP across the per-chunk serial dependency plus contiguous DMA.
+    # "packed" aligns tiles to `sub_chunk` rows instead of a full DMA chunk
+    # (ops/pallas/packed_composite.py): the aligned layout shrinks ~45% at
+    # 1080p (padding is the dominant layout cost at ~66 instances/tile), and
+    # the kernels run a chunk-wide segmented scan over mixed-tile chunks.
     composite_mode: str = "mixed"
+    # Tile alignment granularity of the packed schedule (divides chunk).
+    sub_chunk: int = 32
     # Chunk slots per grid step of the stream/section kernels.
     stream_chunks: int = 8
     # Independent stream sections of the section kernel.

@@ -87,6 +87,12 @@ def rasterize_arrays(
             tile_x=cfg.tile_x, tile_y=cfg.tile_y,
         )
 
+    # The packed schedule aligns tiles to sub_chunk rows (the DMA chunk stays
+    # cfg.chunk inside the kernel); every other schedule needs full-chunk
+    # tile alignment for its per-tile DMA slices.
+    layout_unit = (
+        cfg.sub_chunk if cfg.composite_mode == "packed" else cfg.chunk
+    )
     binning = bin_gaussians(
         tt,
         rect_sg,
@@ -94,7 +100,7 @@ def rasterize_arrays(
         grid_x=grid_x,
         grid_y=grid_y,
         capacity=cfg.instance_capacity,
-        chunk=cfg.chunk,
+        chunk=layout_unit,
         sort_mode=cfg.sort_mode,
         aligned_slack=cfg.aligned_slack,
         tile_mask=tile_mask,
@@ -121,7 +127,7 @@ def rasterize_arrays(
     sorted_splats_t = jax.lax.optimization_barrier(sorted_splats.T)
 
     Kp = aligned_capacity(
-        cfg.instance_capacity, grid_x * grid_y, cfg.chunk, cfg.aligned_slack
+        cfg.instance_capacity, grid_x * grid_y, layout_unit, cfg.aligned_slack
     )
     common = dict(
         grid_x=grid_x,
@@ -136,7 +142,13 @@ def rasterize_arrays(
         scan_mode=cfg.scan_mode,
         interpret=interpret,
     )
-    if cfg.composite_mode == "stream":
+    if cfg.composite_mode == "packed":
+        from .pallas.packed_composite import make_packed_composite
+
+        comp = make_packed_composite(
+            sub=cfg.sub_chunk, stream_chunks=cfg.stream_chunks, **common
+        )
+    elif cfg.composite_mode == "stream":
         from .pallas.stream_composite import make_stream_composite
 
         comp = make_stream_composite(stream_chunks=cfg.stream_chunks, **common)

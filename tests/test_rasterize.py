@@ -203,6 +203,10 @@ def test_stream_matches_batch_composite(rng):
         ("stream", {"stream_chunks": 3}),
         ("mixed", {"stream_chunks": 3}),
         ("section", {"stream_chunks": 3, "sections": 4}),
+        # sub-chunk-aligned layout: ns = chunk/sub = 4 sub-blocks per chunk,
+        # exercising the segmented scan + multi-open meta ring
+        ("packed", {"stream_chunks": 3, "sub_chunk": 2}),
+        ("packed", {"stream_chunks": 2, "sub_chunk": 4}),
     ]:
         cfg = dataclasses.replace(CFG, composite_mode=mode, **extra)
 
@@ -215,24 +219,27 @@ def test_stream_matches_batch_composite(rng):
 
         (lv, aux), grads = jax.value_and_grad(
             loss, argnums=(0, 1), has_aux=True)(opac, colors)
-        outs[mode] = (aux, grads)
+        outs[(mode, extra.get("sub_chunk", 0))] = (aux, grads)
 
-    (img_b, ft_b, nc_b), g_b = outs["batch"]
-    for mode in ["stream", "mixed", "section"]:
-        (img_s, ft_s, nc_s), g_s = outs[mode]
+    (img_b, ft_b, nc_b), g_b = outs[("batch", 0)]
+    for mode, sub in [("stream", 0), ("mixed", 0), ("section", 0),
+                      ("packed", 2), ("packed", 4)]:
+        (img_s, ft_s, nc_s), g_s = outs[(mode, sub)]
         np.testing.assert_array_equal(np.asarray(nc_s), np.asarray(nc_b))
+        # batch/stream/mixed/section share the per-tile chunk partition and
+        # match at the ~1-ulp fusion level; the packed layout partitions each
+        # tile's scan at different (sub-aligned) chunk boundaries, so its
+        # log-space prefix reassociates at the fp32 roundoff level instead.
+        img_tol, grad_tol = (5e-6, 3e-5) if mode == "packed" else (1e-7, 3e-6)
         np.testing.assert_allclose(
-            np.asarray(img_s), np.asarray(img_b), atol=1e-7, err_msg=mode)
+            np.asarray(img_s), np.asarray(img_b), atol=img_tol, err_msg=mode)
         np.testing.assert_allclose(
-            np.asarray(ft_s), np.asarray(ft_b), atol=1e-7, err_msg=mode)
-        # Gradients: the two kernels lay the same formulas out over
-        # different buffer shapes, so fusion/FMA contraction reassociates
-        # the backward arithmetic at the ~1-ulp level.
+            np.asarray(ft_s), np.asarray(ft_b), atol=img_tol, err_msg=mode)
         for name, a, b in zip(["opacity", "colors"], g_b, g_s):
             a, b = np.asarray(a), np.asarray(b)
             scale = np.abs(a).max() + 1e-8
             np.testing.assert_allclose(
-                a, b, atol=3e-6 * scale, err_msg=f"{mode}:{name}")
+                a, b, atol=grad_tol * scale, err_msg=f"{mode}:{name}")
 
 
 def test_section_composite_edge_cases(rng):

@@ -57,8 +57,8 @@ def timeit(name, fn, *args):
 def main():
     n = 100_000
     cap = 131_072
-    icap = 832 * 1024
-    slack = 736 * 1024
+    icap = 576 * 1024
+    slack = 640 * 1024
     rng = np.random.default_rng(0)
     cfg = Config(raster=RasterizeConfig(
         instance_capacity=icap, chunk=128, aligned_slack=slack))
@@ -136,6 +136,31 @@ def main():
 
     (sorted_splats_t, binning) = jax.block_until_ready(
         jax.device_put((sorted_splats_t, binning)))
+
+    def f_pre(i, m3d, c3d):
+        p = preprocess(
+            m3d + i * 1e-12, c3d, cam.world_view, cam.full_proj,
+            width=W, height=H, tan_fovx=tanx, tan_fovy=tany,
+            tile_x=rc.tile_x, tile_y=rc.tile_y, alive=alive,
+            opacities=opacities,
+        )
+        return p.depths[0] + p.conics[0, 0]
+    timeit("preprocess", f_pre, means3d, cov3d)
+
+    def f_bin(i, tt_, rect_, depths_, tmask_):
+        b = bin_gaussians(
+            tt_ + (i * 0), rect_, depths_,
+            grid_x=grid_x, grid_y=grid_y, capacity=icap, chunk=rc.chunk,
+            sort_mode=rc.sort_mode, aligned_slack=slack, tile_mask=tmask_)
+        return (b.gid[0] + b.tile_count[0]).astype(jnp.float32)
+    timeit("binning (fills+sort+relayout)", f_bin, tt, pre.rect, pre.depths,
+           tmask)
+
+    def f_gather(i, spl, gid):
+        s = jax.lax.optimization_barrier(spl + i * 1e-12)
+        out = jax.lax.optimization_barrier(s[gid])
+        return jax.lax.optimization_barrier(out.T)[0, 0]
+    timeit("splat gather + transpose", f_gather, splats, binning.gid)
 
     def f_comp(i, sst, start, count):
         out = comp_b(sst + i * 1e-12, start, count)
