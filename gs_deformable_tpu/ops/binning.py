@@ -34,8 +34,9 @@ spent ~36ms outside the sort.  v2 replaces them with:
   monotone across segments (owner id, segment start, tile start, chunk base);
 - one int32 rect-code gather + one depth gather (the only K-sized gathers
   left before the sort);
-- per-round jnp.take binary search (T+1 queries) instead of
-  jnp.searchsorted's 6ms lowering.
+- tile bounds from one boundary-row scatter + (T,) suffix-min backfill
+  (tile_bounds_from_sorted) instead of binary search or jnp.searchsorted
+  (6ms lowering; the 20-round take-search was ~1.2ms).
 """
 
 from __future__ import annotations
@@ -45,7 +46,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .scan_utils import counting_sort_dest, cumsum_i32, radix_sort_u32
+from .scan_utils import counting_sort_dest, cummax_i32, cumsum_i32, radix_sort_u32
 
 
 class Binning(NamedTuple):
@@ -96,6 +97,31 @@ def take_searchsorted(sorted_arr: jnp.ndarray, queries: jnp.ndarray):
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(live & jnp.logical_not(go_right), mid, hi)
     return lo
+
+
+def tile_bounds_from_sorted(tile_sorted: jnp.ndarray, num_tiles: int):
+    """identifyTileRanges (rasterizer_impl.cu:116-138) over a sorted stream.
+
+    Returns (T+1,) bounds with bounds[t] = first index whose tile >= t —
+    identical to bisect_left for every t.  One boundary-row scatter (each
+    present tile has exactly ONE boundary, so indices are unique — a plain
+    .set) plus a (T+1,)-sized reverse cummin backfill for absent tiles;
+    replaces the 20-round take_searchsorted binary search (~1.2 ms at 590k
+    keys on v5e) with ~0.2 ms of scatter+scan.
+    """
+    K = tile_sorted.shape[0]
+    prev = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), tile_sorted[:-1]]
+    )
+    is_b = tile_sorted != prev
+    idx = jnp.where(is_b, tile_sorted, num_tiles + 1)  # OOB rows drop
+    starts = jnp.full((num_tiles + 1,), K, jnp.int32).at[idx].set(
+        jnp.arange(K, dtype=jnp.int32), mode="drop"
+    )
+    # Absent tiles take the next present tile's start: suffix min == reversed
+    # cummax of the negation.
+    bounds = -cummax_i32(-starts[::-1])[::-1]
+    return bounds
 
 
 def _delta_fills(values_list, active, positions, K: int, widths=None):
@@ -287,8 +313,7 @@ def bin_gaussians(
             gid_s = jnp.zeros_like(gid_s).at[dest].set(gid_s, mode="drop")
             shift += d
         tile_sorted, gid_sorted = tid, gid_s
-        tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-        bounds = take_searchsorted(tile_sorted, tile_range).astype(jnp.int32)
+        bounds = tile_bounds_from_sorted(tile_sorted, num_tiles)
         depth_key = None
     else:
         depth_key = jnp.where(
@@ -308,14 +333,12 @@ def bin_gaussians(
             (key, safe_gid), num_keys=1, is_stable=True
         )
         tile_sorted = (key_sorted >> 19).astype(jnp.int32)
-        tile_range = jnp.arange(num_tiles + 1, dtype=jnp.uint32) << 19
-        bounds = take_searchsorted(key_sorted, tile_range).astype(jnp.int32)
+        bounds = tile_bounds_from_sorted(tile_sorted, num_tiles)
     elif sort_mode != "radix":
         tile_sorted, _, gid_sorted = jax.lax.sort(
             (tile_id, depth_key, safe_gid), num_keys=2, is_stable=True
         )
-        tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-        bounds = take_searchsorted(tile_sorted, tile_range).astype(jnp.int32)
+        bounds = tile_bounds_from_sorted(tile_sorted, num_tiles)
     tile_start = bounds[:-1]
     tile_count = bounds[1:] - bounds[:-1]
     num_instances = jnp.minimum(required, K).astype(jnp.int32)
