@@ -35,10 +35,17 @@ ITERS = 10
 
 
 def timeit(name, fn, *args):
+    """fori timing with the carry THREADED INTO the stage's float inputs.
+
+    `x + i * 0` perturbations constant-fold, letting XLA hoist the whole
+    stage out of the loop (this produced binning "measurements" of 3-11 ms
+    for the same graph); `x + carry * 0.0` cannot fold (fp x*0 is not 0 for
+    inf/NaN) and carry is loop-carried, so the stage re-executes serially.
+    """
     @jax.jit
     def loop(args):
         def body(i, carry):
-            return carry * 0.0 + fn(i, *args)
+            return carry * 0.0 + fn(carry * 0.0, *args)
 
         return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 
@@ -137,9 +144,9 @@ def main():
     (sorted_splats_t, binning) = jax.block_until_ready(
         jax.device_put((sorted_splats_t, binning)))
 
-    def f_pre(i, m3d, c3d):
+    def f_pre(c, m3d, c3d):
         p = preprocess(
-            m3d + i * 1e-12, c3d, cam.world_view, cam.full_proj,
+            m3d + c, c3d, cam.world_view, cam.full_proj,
             width=W, height=H, tan_fovx=tanx, tan_fovy=tany,
             tile_x=rc.tile_x, tile_y=rc.tile_y, alive=alive,
             opacities=opacities,
@@ -147,39 +154,39 @@ def main():
         return p.depths[0] + p.conics[0, 0]
     timeit("preprocess", f_pre, means3d, cov3d)
 
-    def f_bin(i, tt_, rect_, depths_, tmask_):
+    def f_bin(c, tt_, rect_, depths_, tmask_):
         b = bin_gaussians(
-            tt_ + (i * 0), rect_, depths_,
+            tt_, rect_, depths_ + c,
             grid_x=grid_x, grid_y=grid_y, capacity=icap, chunk=rc.chunk,
             sort_mode=rc.sort_mode, aligned_slack=slack, tile_mask=tmask_)
         return (b.gid[0] + b.tile_count[0]).astype(jnp.float32)
     timeit("binning (fills+sort+relayout)", f_bin, tt, pre.rect, pre.depths,
            tmask)
 
-    def f_gather(i, spl, gid):
-        s = jax.lax.optimization_barrier(spl + i * 1e-12)
+    def f_gather(c, spl, gid):
+        s = jax.lax.optimization_barrier(spl + c)
         out = jax.lax.optimization_barrier(s[gid])
         return jax.lax.optimization_barrier(out.T)[0, 0]
     timeit("splat gather + transpose", f_gather, splats, binning.gid)
 
-    def f_comp(i, sst, start, count):
-        out = comp_b(sst + i * 1e-12, start, count)
+    def f_comp(c, sst, start, count):
+        out = comp_b(sst + c, start, count)
         return out[0, 0, 0]
     timeit("composite fwd (batch)", f_comp, sorted_splats_t,
            binning.tile_chunk_start, binning.tile_count)
 
-    def f_comp_bwd(i, sst, start, count):
+    def f_comp_bwd(c, sst, start, count):
         def loss(s):
             out = comp_m(s, start, count)
             return jnp.sum(out[:, 0:4, :])
-        v, g_ = jax.value_and_grad(loss)(sst + i * 1e-12)
+        v, g_ = jax.value_and_grad(loss)(sst + c)
         return v + g_[0, 0]
     timeit("composite fwd+bwd (mixed)", f_comp_bwd, sorted_splats_t,
            binning.tile_chunk_start, binning.tile_count)
 
-    def f_render(i, gstate, deform):
+    def f_render(c, gstate, deform):
         out, _ = render(
-            gstate, deform, cam._replace(time=cam.time + i * 1e-9),
+            gstate, deform, cam._replace(time=cam.time + c),
             iteration=jnp.asarray(10_000), bg=jnp.zeros(3),
             width=W, height=H, tan_fovx=tanx, tan_fovy=tany,
             active_sh_degree=3, cfg=cfg,
