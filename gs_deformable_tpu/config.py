@@ -52,6 +52,11 @@ class DeformConfig:
     # "bfloat16" runs the MLP matmuls on the MXU in bf16 with fp32 accumulation
     # (weights stay fp32); "float32" matches the reference bit-for-bit.
     compute_dtype: str = "float32"
+    # Rows per lax.map block of the MLP application.  XLA's TPU lowering of
+    # the trunk matmuls emits code proportional to the row count (131k rows
+    # serialize past the remote-AOT helper's 2 GiB executable cap); blocking
+    # keeps compiled size O(1) in N with identical arithmetic.  0 = unblocked.
+    block_rows: int = 8192
 
 
 @dataclasses.dataclass(frozen=True)

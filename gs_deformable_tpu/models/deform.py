@@ -141,6 +141,24 @@ def init_offset_net(key, cfg: DeformConfig = DeformConfig()) -> Params:
     )
 
 
+def _map_row_blocks(fn, inputs, n: int, block: int):
+    """Apply ``fn(*row_arrays) -> tuple`` over row blocks via lax.map.
+
+    XLA's TPU lowering of the fp32 MLP matmuls emits code proportional to the
+    ROW count (measured: the 8x256 trunk at 131k rows serializes to a 2.7 GiB
+    executable — over the remote-AOT compile helper's 2 GiB cap — while 65k
+    compiles fine).  Mapping fixed-size row blocks keeps compiled code size
+    independent of N with identical per-row arithmetic.  Falls back to a
+    single call when N is small or not divisible (capacities here are powers
+    of two, so the divisibility always holds at scale)."""
+    if block <= 0 or n <= block or n % block != 0:
+        return fn(*inputs)
+    nb = n // block
+    stacked = tuple(x.reshape(nb, block, *x.shape[1:]) for x in inputs)
+    outs = jax.lax.map(lambda args: fn(*args), stacked)
+    return tuple(o.reshape(n, *o.shape[2:]) for o in outs)
+
+
 def deform_offsets(
     params: Params,
     xyz: jnp.ndarray,
@@ -162,9 +180,12 @@ def deform_offsets(
     t = jnp.broadcast_to(jnp.asarray(time, jnp.float32).reshape(-1, 1), (n, 1))
 
     def run(_):
-        xe = posenc(xyz, cfg.multires_xyz)
-        te = posenc(t, cfg.multires_time)
-        return apply_mlp(params, xe, te, cfg.skips, compute_dtype)
+        def blk(xb, tb):
+            xe = posenc(xb, cfg.multires_xyz)
+            te = posenc(tb, cfg.multires_time)
+            return apply_mlp(params, xe, te, cfg.skips, compute_dtype)
+
+        return _map_row_blocks(blk, (xyz, t), n, cfg.block_rows)
 
     def zeros(_):
         return (
@@ -210,15 +231,19 @@ def deform_se3(
     t = jnp.broadcast_to(jnp.asarray(time, jnp.float32).reshape(-1, 1), (n, 1))
 
     def run(_):
-        w, v = apply_mlp(params, xyz, t, cfg.skips, compute_dtype)
-        theta = jnp.linalg.norm(w, axis=-1)
-        safe = jnp.maximum(theta, 1e-12)[..., None]
-        screw = jnp.concatenate([w / safe, v / safe], axis=-1)
-        transform = rigid.exp_se3(screw, theta)
-        moved = rigid.from_homogenous(
-            jnp.einsum("nij,nj->ni", transform, rigid.to_homogenous(xyz),
-                       precision=jax.lax.Precision.HIGHEST)
-        )
+        def blk(xb, tb):
+            w, v = apply_mlp(params, xb, tb, cfg.skips, compute_dtype)
+            theta = jnp.linalg.norm(w, axis=-1)
+            safe = jnp.maximum(theta, 1e-12)[..., None]
+            screw = jnp.concatenate([w / safe, v / safe], axis=-1)
+            transform = rigid.exp_se3(screw, theta)
+            moved = rigid.from_homogenous(
+                jnp.einsum("nij,nj->ni", transform, rigid.to_homogenous(xb),
+                           precision=jax.lax.Precision.HIGHEST)
+            )
+            return (moved,)
+
+        (moved,) = _map_row_blocks(blk, (xyz, t), n, cfg.block_rows)
         return moved
 
     return jax.lax.cond(
@@ -261,7 +286,10 @@ def opacity_mask_gate(
     t = jnp.broadcast_to(jnp.asarray(time, jnp.float32).reshape(-1, 1), (n, 1))
 
     def run(_):
-        (logit,) = apply_mlp(params["opacity_mask"], xyz, t, cfg.skips)
+        def blk(xb, tb):
+            return apply_mlp(params["opacity_mask"], xb, tb, cfg.skips)
+
+        (logit,) = _map_row_blocks(blk, (xyz, t), n, cfg.block_rows)
         return jax.nn.sigmoid(logit)
 
     return jax.lax.cond(

@@ -1,4 +1,4 @@
-"""Multi-chip sharded training step over a ('data', 'model') mesh.
+"""Multi-chip sharded training over a ('data', 'model') mesh — sharded state.
 
 The reference is strictly single-GPU (SURVEY.md section 5: no distributed
 backend; device pinned at general_utils.py:133).  The TPU-native scaling
@@ -7,20 +7,29 @@ design (SURVEY.md section 7.2 M6 / BASELINE.json config 5):
 - **data axis** — one camera (timestep) per data replica; parameter gradients
   are averaged across replicas.  Semantics = n_data reference iterations with
   a shared parameter update.
-- **model axis** — per-gaussian work (deformation MLP, activation assembly,
-  EWA preprocess, SH color: the FLOPs-heavy part) is sharded over gaussian
-  slices; the small per-gaussian screen-space records (~22 floats) are
-  all-gathered over ICI; each shard then bins and composites only its own
-  contiguous *band* of tile rows (the "primitive duplication" of the north
-  star: a gaussian whose rect spans bands is binned by every band it touches).
-  The image is re-assembled with a tiled all-gather; the loss is partitioned
-  exactly by band rows (SSIM windows read gathered neighbor rows but each
-  ssim-map row is accumulated by exactly one shard), so per-shard gradients
-  psum to the exact total — XLA routes the transposes of the all-gathers as
-  reduce-scatters over ICI, overlapping them with the backward band sweep.
+- **model axis** — the gaussian state itself is SHARDED: each device owns a
+  contiguous 1/n_model slice of every per-gaussian parameter, its Adam
+  moments, and its densification stats (per-chip parameter memory scales as
+  1/n_model).  Per-gaussian work (deformation MLP, activation assembly, EWA
+  preprocess, SH color: the FLOPs-heavy part) runs on the local slice; the
+  small per-gaussian screen-space records (~22 floats) are all-gathered over
+  ICI; each shard then bins and composites only its own contiguous *band* of
+  tile rows (the "primitive duplication" of the north star: a gaussian whose
+  rect spans bands is binned by every band it touches).  The image is
+  re-assembled with a tiled all-gather; the loss is partitioned exactly by
+  band rows, so the VJP of the record all-gather (an ICI reduce-scatter)
+  delivers each shard exactly its slice's total-loss gradients — no explicit
+  model-axis psum of parameter gradients, and parameters never travel.
+- Tile-row bands need NOT divide the grid: the tile grid is padded with empty
+  rows to a multiple of n_model (padded tiles bin zero instances and are
+  sliced off after assembly), so any n_model <= padded tile rows works.
 
-Both collectives ride ICI; the Adam update runs replicated (identical psum'd
-gradients on every device), so parameters never travel.
+Deformation-MLP parameters stay replicated (they are ~1e6 floats vs up to
+~1e8 gaussian floats); their gradients psum over 'model' and pmean over
+'data'.  Densification/opacity-reset run sharded too: each shard clones/
+splits/prunes within its own capacity slice (free slots are per-shard — the
+reference's global free pool at gaussian_model.py:1042-1105 is an allocator
+detail, not semantics; overflow is surfaced via n_dropped).
 """
 
 from __future__ import annotations
@@ -30,11 +39,16 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
 from ..models import deform as deform_mod
-from ..models.gaussians import adam_step
+from ..models.gaussians import (
+    PARAM_GROUPS,
+    adam_step,
+    densify_and_prune,
+    reset_opacity,
+)
 from ..ops import sh as sh_ops
 from ..ops.binning import aligned_capacity, bin_gaussians
 from ..ops.pallas.composite import SPLAT_WIDTH, make_tile_composite
@@ -52,6 +66,78 @@ def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
     return Mesh(arr, ("data", "model"))
 
 
+def train_state_specs(ts: TrainState) -> TrainState:
+    """Leaf-level PartitionSpec tree for a TrainState: per-gaussian leaves
+    (the six param groups + stats + alive mask + their Adam moments) shard
+    over 'model'; MLP params, latent heads, RNG key, and step stay replicated."""
+    gp, rep = P("model"), P()
+
+    def full(spec, subtree):
+        return jax.tree_util.tree_map(lambda _: spec, subtree)
+
+    def moments(tree):
+        return {
+            k: full(gp if k in PARAM_GROUPS else rep, v)
+            for k, v in tree.items()
+        }
+
+    return TrainState(
+        gaussians=full(gp, ts.gaussians),
+        deform=full(rep, ts.deform),
+        latent=full(rep, ts.latent),
+        adam=ts.adam.replace(
+            mu=moments(ts.adam.mu), nu=moments(ts.adam.nu), step=rep
+        ),
+        key=rep,
+    )
+
+
+def interleave_perm(capacity: int, n_model: int) -> np.ndarray:
+    """Round-robin row relabeling: new row (shard s, slot k) <- old row
+    k*n_model + s.  Spreads alive rows (contiguous after init) evenly over
+    shards so every shard's densify free-slot pool stays balanced.  Row order
+    is not semantic (the reference's own densify reorders rows per round,
+    gaussian_model.py:1107-1127); only equal-(tile,depth) sort tiebreaks can
+    reassociate, at float rounding."""
+    return np.arange(capacity).reshape(-1, n_model).T.reshape(-1)
+
+
+def permute_gaussian_rows(ts: TrainState, perm: np.ndarray) -> TrainState:
+    """Apply a row permutation to every per-gaussian leaf (params, stats,
+    alive mask, Adam moments); MLP params/latent/key untouched."""
+    idx = jnp.asarray(perm)
+    g = jax.tree_util.tree_map(lambda x: x[idx], ts.gaussians)
+
+    def mom(tree):
+        return {
+            k: (jax.tree_util.tree_map(lambda x: x[idx], v)
+                if k in PARAM_GROUPS else v)
+            for k, v in tree.items()
+        }
+
+    adam = ts.adam.replace(mu=mom(ts.adam.mu), nu=mom(ts.adam.nu))
+    return ts.replace(gaussians=g, adam=adam)
+
+
+def shard_train_state(
+    ts: TrainState, mesh: Mesh, interleave: bool = True
+) -> TrainState:
+    """Place a TrainState on the mesh with the model-sharded layout (per-chip
+    parameter memory ∝ 1/n_model).  ``interleave`` round-robins rows across
+    shards first (recommended whenever densification will run sharded)."""
+    n_model = mesh.shape["model"]
+    if interleave and n_model > 1:
+        ts = permute_gaussian_rows(
+            ts, interleave_perm(ts.gaussians.capacity, n_model)
+        )
+    specs = train_state_specs(ts)
+    shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    return jax.device_put(ts, shardings)
+
+
 def make_sharded_train_step(
     cfg: Config,
     mesh: Mesh,
@@ -67,19 +153,19 @@ def make_sharded_train_step(
 ):
     """Build the jitted sharded step.
 
-    Inputs of the returned function: replicated TrainState, camera batch with
-    leading dim n_data, gt images (n_data, 3, H, W), bg (3,), iteration.
+    Inputs of the returned function: TrainState (model-sharded or replicated —
+    jit re-shards to the model-sharded layout), camera batch with leading dim
+    n_data, gt images (n_data, 3, H, W), bg (3,), iteration.
     """
     n_data = mesh.shape["data"]
     n_model = mesh.shape["model"]
     r = cfg.raster
     grid_x = (width + r.tile_x - 1) // r.tile_x
     grid_y = (height + r.tile_y - 1) // r.tile_y
-    assert grid_y % n_model == 0, (
-        f"tile rows {grid_y} must divide over model axis {n_model}"
-    )
-    assert height % r.tile_y == 0, "sharded path requires tile-aligned height"
-    band_rows = grid_y // n_model
+    # Pad the tile grid with empty rows so any n_model works (padded tiles
+    # bin nothing; their default rows are sliced off after assembly).
+    grid_y_p = -(-grid_y // n_model) * n_model
+    band_rows = grid_y_p // n_model
     band_px = band_rows * r.tile_y
     assert capacity % n_model == 0
     p_loc = capacity // n_model
@@ -101,16 +187,15 @@ def make_sharded_train_step(
     )
 
     def local_forward(gparams, dparams, screen_zero, gstate, cam, gt, bg, iteration):
-        """Per-device forward: gaussian slice math -> gather -> band composite.
-        Returns the exactly-partitioned local loss + aux."""
+        """Per-device forward on the LOCAL gaussian slice -> all-gather of
+        screen records -> band composite.  Returns the exactly-partitioned
+        local loss + aux; the gathers' VJPs (reduce-scatters) deliver local
+        parameter gradients of the TOTAL loss."""
         midx = jax.lax.axis_index("model")
         st = gstate.with_params(gparams)
 
-        def sl(x):
-            return jax.lax.dynamic_slice_in_dim(x, midx * p_loc, p_loc, axis=0)
-
-        xyz = sl(st.xyz)
-        alive = sl(st.alive)
+        xyz = st.xyz
+        alive = st.alive
         a1 = alive[:, None]
 
         # Deformation on the local slice (renderer.deformed_attributes).
@@ -119,34 +204,34 @@ def make_sharded_train_step(
                 dparams, xyz, cam.time, iteration, cfg.deform
             )
             means3d = xyz + dx
-            scales = jnp.exp(sl(st.scaling) + d_scale)
-            rot = sl(st.rotation) + d_rot
+            scales = jnp.exp(st.scaling + d_scale)
+            rot = st.rotation + d_rot
             rotations = rot / jnp.maximum(
                 jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12
             )
             shs = (
-                jnp.concatenate([sl(st.f_dc), sl(st.f_rest)], axis=1)
+                jnp.concatenate([st.f_dc, st.f_rest], axis=1)
                 + d_shs.reshape(p_loc, cfg.deform.sh_coeffs, 3)
             )
         elif cfg.model.deform_mode == "se3":
             means3d = deform_mod.deform_se3(dparams, xyz, cam.time, iteration, cfg.deform)
             dx = means3d - xyz
-            scales = jnp.exp(sl(st.scaling))
-            rotations = sl(st.rotation)
+            scales = jnp.exp(st.scaling)
+            rotations = st.rotation
             rotations = rotations / jnp.maximum(
                 jnp.linalg.norm(rotations, axis=-1, keepdims=True), 1e-12
             )
-            shs = jnp.concatenate([sl(st.f_dc), sl(st.f_rest)], axis=1)
+            shs = jnp.concatenate([st.f_dc, st.f_rest], axis=1)
         else:
             means3d = xyz
             dx = jnp.zeros_like(xyz)
-            scales = jnp.exp(sl(st.scaling))
-            rotations = sl(st.rotation)
+            scales = jnp.exp(st.scaling)
+            rotations = st.rotation
             rotations = rotations / jnp.maximum(
                 jnp.linalg.norm(rotations, axis=-1, keepdims=True), 1e-12
             )
-            shs = jnp.concatenate([sl(st.f_dc), sl(st.f_rest)], axis=1)
-        opacity = jax.nn.sigmoid(sl(st.opacity))
+            shs = jnp.concatenate([st.f_dc, st.f_rest], axis=1)
+        opacity = jax.nn.sigmoid(st.opacity)
 
         # Dead-slot gating (see renderer.py) on the local slice.
         means3d = jnp.where(a1, means3d, 1e6)
@@ -169,9 +254,13 @@ def make_sharded_train_step(
             active_sh_degree, shs, means3d, cam.camera_center
         )
 
+        # NDC-gradient tap on the LOCAL slice (the densify stats input),
+        # applied before the gather so its gradient needs no extra collective.
+        ndc_local = pre.means2d_ndc + screen_zero
+
         # Gather the compact per-gaussian records over ICI: (P, 22) floats.
         gather = lambda x: jax.lax.all_gather(x, "model", axis=0, tiled=True)
-        ndc = gather(pre.means2d_ndc) + screen_zero  # densify grad tap
+        ndc = gather(ndc_local)
         conics = gather(pre.conics)
         op_full = gather(opacity[:, 0])
         col_full = gather(colors)
@@ -216,14 +305,14 @@ def make_sharded_train_step(
             sorted_splats_t, binning.tile_chunk_start, binning.tile_count
         )[: grid_x * band_rows]
 
-        # Re-assemble the full image: tiled gather of band outputs.
+        # Re-assemble the full (pad-row-inclusive) image: tiled band gather.
         out_full = jax.lax.all_gather(out_tiles, "model", axis=0, tiled=True)
 
         def assemble(rows):
             c = rows.shape[1]
-            x = rows.reshape(grid_y, grid_x, c, r.tile_y, r.tile_x)
+            x = rows.reshape(grid_y_p, grid_x, c, r.tile_y, r.tile_x)
             return x.transpose(2, 0, 3, 1, 4).reshape(
-                c, grid_y * r.tile_y, grid_x * r.tile_x
+                c, grid_y_p * r.tile_y, grid_x * r.tile_x
             )[:, :height, :width]
 
         color = assemble(out_full[:, 0:3, :])
@@ -231,14 +320,16 @@ def make_sharded_train_step(
         image = color + final_t[None] * bg[:, None, None]
 
         # Exactly-partitioned loss: this shard accounts for its band's pixel
-        # rows and its slice's offset norms; psum over 'model' == total loss.
+        # rows (masked — the last band may extend past the image) and its
+        # slice's offset norms; psum over 'model' == total loss.
         npx = 3 * height * width
+        rows_i = jnp.arange(height, dtype=jnp.int32)
+        band_mask = (
+            (rows_i >= midx * band_px) & (rows_i < (midx + 1) * band_px)
+        ).astype(jnp.float32)[None, :, None]
         diff = jnp.abs(image - gt)
-        band_slice = lambda x: jax.lax.dynamic_slice_in_dim(
-            x, midx * band_px, band_px, axis=1
-        )
-        l1_local = jnp.sum(band_slice(diff)) / npx
-        ssim_map_local = jnp.sum(band_slice(_ssim_map(image, gt))) / npx
+        l1_local = jnp.sum(diff * band_mask) / npx
+        ssim_map_local = jnp.sum(_ssim_map(image, gt) * band_mask) / npx
 
         sq = jnp.sum(dx * dx, axis=-1)
         nz = sq > 0
@@ -258,6 +349,8 @@ def make_sharded_train_step(
             "radii_local": pre.radii,
             "visibility_local": pre.radii > 0,
             "required": binning.required,
+            "required_aligned": binning.total_aligned,
+            "l1_local": l1_local,
         }
         return loss_local, aux
 
@@ -280,26 +373,25 @@ def make_sharded_train_step(
     def device_fn(ts: TrainState, cam_b, gt_b, bg, iteration):
         cam = jax.tree_util.tree_map(lambda x: x[0], cam_b)
         gt = gt_b[0]
-        gstate = ts.gaussians
+        gstate = ts.gaussians  # LOCAL slice (p_loc rows per leaf)
 
         def loss_fn(gparams, dparams, screen_zero):
             return local_forward(
                 gparams, dparams, screen_zero, gstate, cam, gt, bg, iteration
             )
 
-        screen_zero = jnp.zeros((capacity, 2), jnp.float32)
+        screen_zero = jnp.zeros((p_loc, 2), jnp.float32)
         (loss_local, aux), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True
         )(gstate.params(), ts.deform, screen_zero)
         g_gauss, g_deform, g_screen = grads
-
-        # Sum over model shards first: g_screen is then the exact per-camera
-        # NDC gradient (replicated within each data replica) — the stats need
-        # it *per camera*, matching one reference iteration per camera.
-        g_gauss, g_deform, g_screen = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g, "model"), (g_gauss, g_deform, g_screen)
+        # g_gauss / g_screen are already the TOTAL-loss gradients for the
+        # local slice (the record all-gathers' VJPs reduce-scatter the
+        # cross-band terms).  The replicated MLP's grads still need the
+        # model-axis sum; parameter updates use the camera mean.
+        g_deform = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, "model"), g_deform
         )
-        # Parameter update uses the camera-mean.
         g_gauss, g_deform = jax.tree_util.tree_map(
             lambda g: jax.lax.pmean(g, "data"), (g_gauss, g_deform)
         )
@@ -307,18 +399,12 @@ def make_sharded_train_step(
         loss = jax.lax.pmean(loss, "data")
 
         # Densification stats (add_densification_stats semantics, summed over
-        # the camera batch = n_data reference iterations).
-        vis_full = jax.lax.all_gather(
-            aux["visibility_local"], "model", axis=0, tiled=True
-        )
-        radii_full = jax.lax.all_gather(
-            aux["radii_local"], "model", axis=0, tiled=True
-        )
+        # the camera batch = n_data reference iterations), on the local slice.
         gn = jnp.linalg.norm(g_screen[:, :2], axis=-1, keepdims=True)
         in_densify = iteration < cfg.opt.densify_until_iter
 
         def upd_stats(g):
-            vis = vis_full & g.alive
+            vis = aux["visibility_local"] & g.alive
             accum = g.xyz_gradient_accum + jax.lax.psum(
                 jnp.where(vis[:, None], gn, 0.0), "data"
             )
@@ -326,7 +412,8 @@ def make_sharded_train_step(
                 vis[:, None].astype(jnp.float32), "data"
             )
             radii = jnp.where(
-                vis, jnp.maximum(g.max_radii2d, radii_full.astype(jnp.float32)),
+                vis,
+                jnp.maximum(g.max_radii2d, aux["radii_local"].astype(jnp.float32)),
                 g.max_radii2d,
             )
             radii = jax.lax.pmax(radii, "data")
@@ -348,26 +435,113 @@ def make_sharded_train_step(
 
         metrics = {
             "loss": loss,
+            "ll1": jax.lax.pmean(
+                jax.lax.psum(aux["l1_local"], "model"), "data"
+            ),
             "psnr": jax.lax.pmean(
                 psnr(aux["image"][None], gt[None]).mean(), "data"
             ),
             "required_instances": jax.lax.pmax(
                 jax.lax.pmax(aux["required"], "model"), "data"
             ),
-            "n_alive": gstate.num_alive,
+            "required_aligned": jax.lax.pmax(
+                jax.lax.pmax(aux["required_aligned"], "model"), "data"
+            ),
+            "n_alive": jax.lax.psum(gstate.num_alive, "model"),
         }
         new_ts = ts.replace(gaussians=gstate, deform=new_deform, adam=new_adam)
         return new_ts, metrics
 
+    dummy_specs = None
+
+    def specs_for(ts_like):
+        return train_state_specs(ts_like)
+
     rep = P()
-    sharded = jax.shard_map(
-        device_fn,
-        mesh=mesh,
-        in_specs=(rep, P("data"), P("data"), rep, rep),
-        out_specs=(rep, rep),
-        check_vma=False,
-    )
-    return jax.jit(sharded, donate_argnums=(0,))
+
+    def build(ts_example):
+        state_specs = specs_for(ts_example)
+        return jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(state_specs, P("data"), P("data"), rep, rep),
+            out_specs=(state_specs, rep),
+            check_vma=False,
+        )
+
+    jitted = {}
+
+    def step(ts, cam_b, gt_b, bg, iteration):
+        key = jax.tree_util.tree_structure(ts)
+        if key not in jitted:
+            jitted[key] = jax.jit(build(ts), donate_argnums=(0,))
+        return jitted[key](ts, cam_b, gt_b, bg, iteration)
+
+    return step
+
+
+def make_sharded_densify_step(
+    cfg: Config, mesh: Mesh, extent: float, use_screen_prune: bool
+):
+    """Sharded densify_and_prune: every shard clones/splits/prunes within its
+    own capacity slice (free-slot pool is per-shard; overflow surfaces via
+    n_dropped).  Matches training.make_densify_step semantics per slice."""
+
+    def device_fn(ts: TrainState, grad_threshold, min_opacity):
+        midx = jax.lax.axis_index("model")
+        key, sub = jax.random.split(ts.key)
+        sub = jax.random.fold_in(sub, midx)
+        mu = {k: ts.adam.mu[k] for k in PARAM_GROUPS}
+        nu = {k: ts.adam.nu[k] for k in PARAM_GROUPS}
+        gstate, mu, nu, info = densify_and_prune(
+            ts.gaussians, mu, nu, sub,
+            grad_threshold=grad_threshold,
+            min_opacity=min_opacity,
+            extent=extent,
+            percent_dense=cfg.opt.percent_dense,
+            use_screen_prune=use_screen_prune,
+            max_screen_size=float(cfg.opt.max_screen_size),
+        )
+        adam = ts.adam.replace(
+            mu={**ts.adam.mu, **mu}, nu={**ts.adam.nu, **nu}
+        )
+        info_d = {
+            k: jax.lax.psum(v, "model") for k, v in info._asdict().items()
+        }
+        return ts.replace(gaussians=gstate, adam=adam, key=key), info_d
+
+    jitted = {}
+
+    def run(ts, grad_threshold, min_opacity):
+        key = jax.tree_util.tree_structure(ts)
+        if key not in jitted:
+            state_specs = train_state_specs(ts)
+            fn = jax.shard_map(
+                device_fn,
+                mesh=mesh,
+                in_specs=(state_specs, P(), P()),
+                out_specs=(state_specs, P()),
+                check_vma=False,
+            )
+            jitted[key] = jax.jit(fn, donate_argnums=(0,))
+        return jitted[key](ts, grad_threshold, min_opacity)
+
+    return run
+
+
+def make_sharded_opacity_reset(cfg: Config, mesh: Mesh):
+    """reset_opacity is elementwise over gaussian rows — it runs on sharded
+    state under plain jit (XLA keeps the model-axis layout)."""
+    del mesh
+
+    def run(ts: TrainState):
+        mu = {k: ts.adam.mu[k] for k in PARAM_GROUPS}
+        nu = {k: ts.adam.nu[k] for k in PARAM_GROUPS}
+        gstate, mu, nu = reset_opacity(ts.gaussians, mu, nu)
+        adam = ts.adam.replace(mu={**ts.adam.mu, **mu}, nu={**ts.adam.nu, **nu})
+        return ts.replace(gaussians=gstate, adam=adam)
+
+    return jax.jit(run, donate_argnums=(0,))
 
 
 def batch_cameras(cams) -> CameraArrays:

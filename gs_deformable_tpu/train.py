@@ -76,6 +76,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ).split():
         default = getattr(o, name)
         p.add_argument(f"--{name}", type=type(default), default=default)
+    # Multi-chip mesh (parallel/sharding.py): n_data cameras per step with
+    # averaged gradients x n_model-way sharded gaussians + tile bands.
+    p.add_argument("--n_data", type=int, default=1,
+                   help="data-axis devices (cameras per step, grads averaged)")
+    p.add_argument("--n_model", type=int, default=1,
+                   help="model-axis devices (gaussian state + tile bands sharded)")
     # TPU capacity / kernel knobs
     p.add_argument("--capacity", type=int, default=0, help="0 = auto (2x init points)")
     # Start snug and auto-grow on overflow (sort/binning cost scales with this).
@@ -110,8 +116,14 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args) -> Config:
+    from .config import ParallelConfig
+
     K = (args.sh_degree + 1) ** 2
     return Config(
+        parallel=ParallelConfig(
+            data_axis=getattr(args, "n_data", 1),
+            model_axis=getattr(args, "n_model", 1),
+        ),
         model=ModelConfig(
             sh_degree=args.sh_degree,
             source_path=args.source_path,
@@ -201,17 +213,41 @@ class Trainer:
                                    sh_degree=cfg.model.sh_degree)
         self.ts = training.init_train_state(state, seed, cfg)
 
+        # Multi-chip mesh: shard the gaussian state + Adam moments over the
+        # model axis; data axis takes one camera per replica per step.
+        self.n_data = cfg.parallel.data_axis
+        self.n_model = cfg.parallel.model_axis
+        self.mesh = None
+        if self.n_data * self.n_model > 1:
+            from .parallel import sharding as par
+
+            self.mesh = par.make_mesh(self.n_data, self.n_model)
+            self.ts = par.shard_train_state(self.ts, self.mesh)
+            print(f"Mesh: data={self.n_data} x model={self.n_model} "
+                  f"(state sharded over 'model')")
+
     # -- jit caches -------------------------------------------------------
     def step_fn(self, cam: Camera):
         key = (cam.width, cam.height, round(cam.fovx, 6), round(cam.fovy, 6),
                self.active_sh_degree, self.ts.gaussians.capacity)
         if key not in self._step_cache:
-            self._step_cache[key] = training.make_train_step(
-                self.cfg, width=cam.width, height=cam.height,
-                tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
-                active_sh_degree=self.active_sh_degree,
-                spatial_lr_scale=self.spatial_lr_scale,
-            )
+            if self.mesh is not None:
+                from .parallel import sharding as par
+
+                self._step_cache[key] = par.make_sharded_train_step(
+                    self.cfg, self.mesh, width=cam.width, height=cam.height,
+                    tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+                    active_sh_degree=self.active_sh_degree,
+                    spatial_lr_scale=self.spatial_lr_scale,
+                    capacity=self.ts.gaussians.capacity,
+                )
+            else:
+                self._step_cache[key] = training.make_train_step(
+                    self.cfg, width=cam.width, height=cam.height,
+                    tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+                    active_sh_degree=self.active_sh_degree,
+                    spatial_lr_scale=self.spatial_lr_scale,
+                )
         return self._step_cache[key]
 
     def eval_fn(self, cam: Camera):
@@ -228,15 +264,30 @@ class Trainer:
     def densify_fn(self, use_screen_prune: bool):
         key = (use_screen_prune, self.ts.gaussians.capacity)
         if key not in self._densify_cache:
-            self._densify_cache[key] = training.make_densify_step(
-                self.cfg, extent=self.scene.cameras_extent,
-                use_screen_prune=use_screen_prune,
-            )
+            if self.mesh is not None:
+                from .parallel import sharding as par
+
+                self._densify_cache[key] = par.make_sharded_densify_step(
+                    self.cfg, self.mesh, extent=self.scene.cameras_extent,
+                    use_screen_prune=use_screen_prune,
+                )
+            else:
+                self._densify_cache[key] = training.make_densify_step(
+                    self.cfg, extent=self.scene.cameras_extent,
+                    use_screen_prune=use_screen_prune,
+                )
         return self._densify_cache[key]
 
     def reset_fn(self):
         if self._reset_fn is None:
-            self._reset_fn = training.make_opacity_reset(self.cfg)
+            if self.mesh is not None:
+                from .parallel import sharding as par
+
+                self._reset_fn = par.make_sharded_opacity_reset(
+                    self.cfg, self.mesh
+                )
+            else:
+                self._reset_fn = training.make_opacity_reset(self.cfg)
         return self._reset_fn
 
     def maybe_grow(self):
@@ -246,6 +297,12 @@ class Trainer:
             new_cap = g.capacity * 2
             print(f"\n[capacity] growing {g.capacity} -> {new_cap} (alive {alive})")
             self.ts = training.grow_capacity(self.ts, new_cap)
+            if self.mesh is not None:
+                # Re-place: the padded tail interleaves round-robin so every
+                # shard's densify free pool grows equally.
+                from .parallel import sharding as par
+
+                self.ts = par.shard_train_state(self.ts, self.mesh)
 
     def one_up_sh_degree(self):
         if self.active_sh_degree < self.cfg.model.sh_degree:
@@ -434,11 +491,38 @@ def train(args) -> str:
         if iteration % 1000 == 0:
             trainer.one_up_sh_degree()
 
-        cam, gt = next_camera()
-        step = trainer.step_fn(cam)
-        trainer.ts, metrics = step(
-            trainer.ts, cam_arrays(cam), gt, bg, jnp.asarray(iteration)
-        )
+        if trainer.mesh is None:
+            cam, gt = next_camera()
+            step = trainer.step_fn(cam)
+            trainer.ts, metrics = step(
+                trainer.ts, cam_arrays(cam), gt, bg, jnp.asarray(iteration)
+            )
+        else:
+            # One camera per data replica; gradients average over the batch
+            # (n_data reference iterations sharing one parameter update).
+            cams, gts = [], []
+            for _ in range(trainer.n_data):
+                c, g = next_camera()
+                cams.append(c)
+                gts.append(g)
+            cam = cams[0]
+            if any((c.width, c.height) != (cam.width, cam.height)
+                   for c in cams):
+                raise ValueError(
+                    "--n_data > 1 needs uniform camera resolutions in a batch"
+                )
+            cam_b = CameraArrays(
+                world_view=jnp.stack([jnp.asarray(c.world_view) for c in cams]),
+                full_proj=jnp.stack([jnp.asarray(c.full_proj) for c in cams]),
+                camera_center=jnp.stack(
+                    [jnp.asarray(c.camera_center) for c in cams]
+                ),
+                time=jnp.asarray([c.time for c in cams], jnp.float32),
+            )
+            step = trainer.step_fn(cam)
+            trainer.ts, metrics = step(
+                trainer.ts, cam_b, jnp.stack(gts), bg, jnp.asarray(iteration)
+            )
 
         if iteration % 10 == 0:
             loss = float(metrics["loss"])

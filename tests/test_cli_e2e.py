@@ -136,3 +136,53 @@ def test_colmap_scene_trains(tmp_path):
     ])
     assert os.path.exists(os.path.join(out, "point_cloud", "iteration_14",
                                        "point_cloud.ply"))
+
+
+@pytest.mark.slow
+def test_multichip_cli_trains(tmp_path):
+    """--n_data/--n_model wire the sharded step + sharded densify/reset into
+    the trainer host loop (2x2 mesh on the 8-device CPU harness)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    scene_dir = str(tmp_path / "scene")
+    model_dir = str(tmp_path / "out")
+    build_blender_scene(scene_dir, n_views=4, n_test=1, size=48, n_blobs=8)
+
+    from gs_deformable_tpu import train as train_cli
+
+    argv = [
+        "-s", scene_dir, "-m", model_dir,
+        "--iterations", "16",
+        "--random_init_points", "200",
+        "--instance_capacity", "4096",
+        "--chunk", "8",
+        "--warmup_iters", "4",
+        "--sh_degree", "1",
+        "--densify_from_iter", "4",
+        "--densification_interval", "6",
+        "--densify_until_iter", "14",
+        "--opacity_reset_interval", "12",
+        "--test_iterations", "16",
+        "--save_iterations", "16",
+        "--n_data", "2",
+        "--n_model", "2",
+        "--eval",
+        "--quiet",
+        "--disable_viewer",
+    ]
+    train_cli.main(argv)
+    pc = os.path.join(model_dir, "point_cloud", "iteration_16", "point_cloud.ply")
+    assert os.path.exists(pc)
+
+    from gs_deformable_tpu import render_cli
+
+    render_cli.main(["-m", model_dir, "--skip_train"])
+    renders = os.path.join(model_dir, "test", "ours_16", "renders")
+    files = os.listdir(renders)
+    assert len(files) == 1
+    from PIL import Image
+
+    img = np.asarray(Image.open(os.path.join(renders, files[0])))
+    assert np.isfinite(img).all()

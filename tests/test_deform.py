@@ -103,3 +103,40 @@ def test_bfloat16_compute_close_to_fp32(rng):
     for x, y in zip(a, b):
         scale = float(jnp.abs(x).max()) + 1e-6
         assert float(jnp.abs(x - y).max()) < 0.05 * scale
+
+
+def test_block_rows_matches_unblocked():
+    """lax.map row blocking is a pure scheduling change: identical outputs."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gs_deformable_tpu.config import DeformConfig
+    from gs_deformable_tpu.models import deform as deform_mod
+
+    cfg0 = DeformConfig(depth=2, width=32, warmup_iters=0, sh_coeffs=4,
+                        block_rows=0)
+    cfgb = dataclasses.replace(cfg0, block_rows=8)
+    params = deform_mod.init_offset_net(jax.random.PRNGKey(1), cfg0)
+    xyz = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (32, 3)), jnp.float32)
+    t = jnp.float32(0.4)
+    it = jnp.asarray(10)
+    out0 = deform_mod.deform_offsets(params, xyz, t, it, cfg0)
+    outb = deform_mod.deform_offsets(params, xyz, t, it, cfgb)
+    for a, b in zip(out0, outb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # gradients agree too (lax.map differentiates as a scan)
+    def loss(c, x):
+        o = deform_mod.deform_offsets(params, x, t, it, c)
+        return sum(jnp.sum(v * v) for v in o)
+    g0 = jax.grad(lambda x: loss(cfg0, x))(xyz)
+    gb = jax.grad(lambda x: loss(cfgb, x))(xyz)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(gb),
+                               rtol=1e-6, atol=1e-7)
+
+    se3_0 = deform_mod.deform_se3(
+        deform_mod.init_se3_net(jax.random.PRNGKey(2), cfg0), xyz, t, it, cfg0)
+    se3_b = deform_mod.deform_se3(
+        deform_mod.init_se3_net(jax.random.PRNGKey(2), cfgb), xyz, t, it, cfgb)
+    np.testing.assert_array_equal(np.asarray(se3_0), np.asarray(se3_b))

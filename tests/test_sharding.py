@@ -120,3 +120,169 @@ def test_data_model_mesh_runs(rng):
     for leaf in jax.tree_util.tree_leaves(ts2):
         if hasattr(leaf, "dtype") and leaf.dtype.kind == "f":
             assert bool(jnp.isfinite(leaf).all())
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_state_is_model_sharded(rng):
+    """Per-chip parameter memory scales 1/n_model: every per-gaussian leaf of
+    the placed TrainState (params, stats, Adam moments) is split over the
+    model axis, and the train step PRESERVES that layout in its outputs."""
+    cfg = make_cfg()
+    state, cam, tan = make_setup()
+    ts = training.init_train_state(state, seed=0, cfg=cfg)
+    mesh = sharding.make_mesh(2, 4)
+    ts = sharding.shard_train_state(ts, mesh)
+
+    cap = ts.gaussians.capacity
+    for name in ["xyz", "f_dc", "opacity", "scaling", "rotation",
+                 "xyz_gradient_accum", "max_radii2d"]:
+        leaf = getattr(ts.gaussians, name)
+        shard_rows = leaf.addressable_shards[0].data.shape[0]
+        assert shard_rows == cap // 4, (name, shard_rows)
+    for grp in ["xyz", "scaling"]:
+        mu = ts.adam.mu[grp]
+        assert mu.addressable_shards[0].data.shape[0] == cap // 4, grp
+    # replicated leaves stay whole
+    dleaf = jax.tree_util.tree_leaves(ts.deform)[0]
+    assert dleaf.addressable_shards[0].data.shape == dleaf.shape
+
+    step = sharding.make_sharded_train_step(
+        cfg, mesh, width=W, height=H, tan_fovx=tan, tan_fovy=tan,
+        active_sh_degree=0, spatial_lr_scale=1.0, capacity=cap,
+    )
+    gt = jnp.asarray(rng.uniform(0, 1, (2, 3, H, W)), jnp.float32)
+    cam_b = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x, x]), cam)
+    ts2, m = step(ts, cam_b, gt, jnp.zeros(3), jnp.asarray(10))
+    assert np.isfinite(float(m["loss"]))
+    assert (
+        ts2.gaussians.xyz.addressable_shards[0].data.shape[0] == cap // 4
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_nondivisible_tile_rows_match_single_device(rng):
+    """grid_y=5 tile rows over n_model=4: the padded-band path must still
+    bit-match the single-device step (empty pad tiles contribute nothing)."""
+    cfg = make_cfg()
+    Wn, Hn = 48, 80  # grid 3 x 5 tiles
+    state, cam, tan = make_setup()
+    ts0 = training.init_train_state(state, seed=0, cfg=cfg)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, Hn, Wn)), jnp.float32)
+    bg = jnp.zeros(3)
+    it = jnp.asarray(10)
+
+    single = training.make_train_step(
+        cfg, width=Wn, height=Hn, tan_fovx=tan, tan_fovy=tan,
+        active_sh_degree=0, spatial_lr_scale=1.0,
+    )
+    ts_s, m_s = single(ts0, cam, gt, bg, it)
+
+    mesh = sharding.make_mesh(1, 4)
+    state1, _, _ = make_setup()
+    ts1 = training.init_train_state(state1, seed=0, cfg=cfg)
+    step = sharding.make_sharded_train_step(
+        cfg, mesh, width=Wn, height=Hn, tan_fovx=tan, tan_fovy=tan,
+        active_sh_degree=0, spatial_lr_scale=1.0, capacity=64,
+    )
+    cam_b = jax.tree_util.tree_map(lambda x: x[None], cam)
+    ts_p, m_p = step(ts1, cam_b, gt[None], bg, it)
+
+    np.testing.assert_allclose(
+        float(m_p["loss"]), float(m_s["loss"]), rtol=1e-5, atol=1e-6
+    )
+    for k in ["xyz", "scaling", "opacity"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ts_s.gaussians, k)),
+            np.asarray(getattr(ts_p.gaussians, k)),
+            rtol=2e-4, atol=2e-5, err_msg=k,
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_densify_counts_match(rng):
+    """Sharded densify_and_prune selects the same clone/split/prune sets as
+    the single-device step (allocation differs: per-shard free pools)."""
+    cfg = make_cfg()
+    state, cam, tan = make_setup()
+    ts0 = training.init_train_state(state, seed=0, cfg=cfg)
+    # Fabricate densify stats: large NDC grads on a deterministic subset.
+    g = ts0.gaussians
+    accum = np.zeros((g.capacity, 1), np.float32)
+    accum[5:15] = 5e-3
+    denom = np.ones((g.capacity, 1), np.float32)
+    ts0 = ts0.replace(gaussians=g.replace(
+        xyz_gradient_accum=jnp.asarray(accum), denom=jnp.asarray(denom)))
+
+    dens_single = training.make_densify_step(
+        cfg, extent=3.0, use_screen_prune=False)
+    ts_s, info_s = dens_single(
+        ts0, jnp.float32(2e-4), jnp.float32(0.005))
+
+    state1, _, _ = make_setup()
+    ts1 = training.init_train_state(state1, seed=0, cfg=cfg)
+    g1 = ts1.gaussians
+    ts1 = ts1.replace(gaussians=g1.replace(
+        xyz_gradient_accum=jnp.asarray(accum), denom=jnp.asarray(denom)))
+    mesh = sharding.make_mesh(2, 4)
+    ts1 = sharding.shard_train_state(ts1, mesh)
+    dens = sharding.make_sharded_densify_step(
+        cfg, mesh, extent=3.0, use_screen_prune=False)
+    ts_p, info_p = dens(ts1, jnp.float32(2e-4), jnp.float32(0.005))
+
+    for k in ["n_cloned", "n_split", "n_pruned", "n_alive"]:
+        assert int(info_p[k]) == int(info_s[k]), (
+            k, int(info_p[k]), int(info_s[k]))
+    # opacity reset keeps the sharded layout and matches elementwise
+    reset = sharding.make_sharded_opacity_reset(cfg, mesh)
+    ts_p2 = reset(ts_p)
+    op = np.asarray(jax.nn.sigmoid(ts_p2.gaussians.opacity))
+    assert (op <= 0.01 + 1e-6).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_e2e_sharded_training_matches_psnr(rng):
+    """Short training runs (with a densify round) single-device vs 1x4-sharded
+    reach the same PSNR (densify RNG differs per shard, so trajectories are
+    compared at the metric level)."""
+    cfg = make_cfg()
+    state, cam, tan = make_setup(n=48, cap=64)
+    gt = jnp.asarray(rng.uniform(0.2, 0.8, (3, H, W)), jnp.float32)
+    bg = jnp.zeros(3)
+    steps = 30
+
+    # single device
+    ts = training.init_train_state(state, seed=0, cfg=cfg)
+    step1 = training.make_train_step(
+        cfg, width=W, height=H, tan_fovx=tan, tan_fovy=tan,
+        active_sh_degree=0, spatial_lr_scale=1.0,
+    )
+    dens1 = training.make_densify_step(cfg, extent=3.0, use_screen_prune=False)
+    for it in range(1, steps + 1):
+        ts, m1 = step1(ts, cam, gt, bg, jnp.asarray(it))
+        if it == 20:
+            ts, _ = dens1(ts, jnp.float32(1e-5), jnp.float32(0.005))
+    psnr_single = float(m1["psnr"])
+
+    # sharded
+    state2, _, _ = make_setup(n=48, cap=64)
+    ts2 = training.init_train_state(state2, seed=0, cfg=cfg)
+    mesh = sharding.make_mesh(1, 4)
+    ts2 = sharding.shard_train_state(ts2, mesh)
+    step4 = sharding.make_sharded_train_step(
+        cfg, mesh, width=W, height=H, tan_fovx=tan, tan_fovy=tan,
+        active_sh_degree=0, spatial_lr_scale=1.0, capacity=64,
+    )
+    dens4 = sharding.make_sharded_densify_step(
+        cfg, mesh, extent=3.0, use_screen_prune=False)
+    cam_b = jax.tree_util.tree_map(lambda x: x[None], cam)
+    for it in range(1, steps + 1):
+        ts2, m4 = step4(ts2, cam_b, gt[None], bg, jnp.asarray(it))
+        if it == 20:
+            ts2, _ = dens4(ts2, jnp.float32(1e-5), jnp.float32(0.005))
+    psnr_shard = float(m4["psnr"])
+
+    # The densify round draws different split samples per shard (fold_in of
+    # the shard index), so trajectories diverge at the RNG level; the exact
+    # step equivalence is pinned by test_sharded_matches_single_device.
+    assert abs(psnr_single - psnr_shard) < 0.7, (psnr_single, psnr_shard)
