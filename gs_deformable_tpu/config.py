@@ -187,6 +187,11 @@ class OptimizationConfig:
     min_opacity: float = 0.005
     # Screen-size prune threshold once opacity resets begin (train.py:643).
     max_screen_size: int = 20
+    # Offset-gated densification (latent reference capability,
+    # gaussian_model.py:1154-1249 / train.py:652-676): clone/split only
+    # gaussians whose latest |dx| >= this threshold.  0 = off (active path).
+    # The commented reference experiments used 0.3 (and 0.5 late).
+    densify_offset_gate: float = 0.0
     adam_eps: float = 1e-15  # gaussian_model.py:856
     adam_b1: float = 0.9
     adam_b2: float = 0.999

@@ -37,8 +37,14 @@ def load_checkpoint(path: str, template: Any) -> Tuple[Any, int]:
     leaves_t, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
     for p, leaf in leaves_t:
-        arr = data[_key(p)]
-        assert arr.shape == np.shape(leaf), f"{_key(p)}: {arr.shape} vs {np.shape(leaf)}"
+        k = _key(p)
+        if k not in data:
+            # Fields added after the checkpoint was written (e.g. transient
+            # densify inputs) keep the template value.
+            new_leaves.append(leaf)
+            continue
+        arr = data[k]
+        assert arr.shape == np.shape(leaf), f"{k}: {arr.shape} vs {np.shape(leaf)}"
         new_leaves.append(jnp.asarray(arr))
     tree = jax.tree_util.tree_unflatten(treedef, new_leaves)
     return tree, int(data["__iteration__"])

@@ -153,6 +153,7 @@ def load_ply(
         rotation=jnp.asarray(rot_pad),
         alive=jnp.asarray(pad(np.ones(n, bool), 0.0).astype(bool)),
         max_radii2d=jnp.zeros(capacity, jnp.float32),
+        last_offset_norm=jnp.zeros(capacity, jnp.float32),
         xyz_gradient_accum=jnp.zeros((capacity, 1), jnp.float32),
         denom=jnp.zeros((capacity, 1), jnp.float32),
     )

@@ -70,12 +70,19 @@ def _linear_init(key, fan_in: int, fan_out: int) -> Params:
 
 def _linear(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     w, b = p["w"], p["b"]
+    precision = jax.lax.Precision.HIGHEST
+    if dtype == "float32_3x":
+        # Precision.HIGH = 3 bf16 passes: ~2x the HIGHEST throughput at
+        # ~1e-6 relative error on unit-scale activations (the MLP's
+        # precision tier is a quality knob, not a parity anchor — the
+        # rasterizer math stays HIGHEST).
+        dtype, precision = None, jax.lax.Precision.HIGH
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
     return (
         jnp.dot(
             x, w, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
         + b.astype(jnp.float32)
     )

@@ -53,6 +53,10 @@ class GaussianState:
     max_radii2d: jnp.ndarray  # (P,) float32
     xyz_gradient_accum: jnp.ndarray  # (P, 1)
     denom: jnp.ndarray  # (P, 1)
+    # |dx| of the latest rendered frame per gaussian — the offset-gated
+    # densification input (reference train.py:659,673: offset_mask =
+    # norm(means3D_offset) >= threshold, from the current frame's offsets).
+    last_offset_norm: jnp.ndarray  # (P,)
 
     @property
     def capacity(self) -> int:
@@ -120,6 +124,7 @@ def init_from_points(
         max_radii2d=jnp.zeros(capacity, jnp.float32),
         xyz_gradient_accum=jnp.zeros((capacity, 1), jnp.float32),
         denom=jnp.zeros((capacity, 1), jnp.float32),
+        last_offset_norm=jnp.zeros(capacity, jnp.float32),
     ).replace(rotation=jnp.zeros((capacity, 4), jnp.float32).at[:, 0].set(1.0))
 
 
@@ -338,6 +343,7 @@ def densify_and_prune(
         max_radii2d=jnp.zeros_like(state.max_radii2d),
         xyz_gradient_accum=jnp.zeros_like(state.xyz_gradient_accum),
         denom=jnp.zeros_like(state.denom),
+        last_offset_norm=jnp.zeros_like(state.last_offset_norm),
     )
     info = DensifyInfo(
         n_cloned=n_clone - jnp.maximum(0, n_clone - free_count),

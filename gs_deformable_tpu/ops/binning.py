@@ -46,7 +46,13 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .scan_utils import counting_sort_dest, cummax_i32, cumsum_i32, radix_sort_u32
+from .scan_utils import (
+    counting_sort_dest,
+    cummax_i32,
+    cumsum_cols_f32,
+    cumsum_i32,
+    radix_sort_u32,
+)
 
 
 class Binning(NamedTuple):
@@ -155,24 +161,43 @@ def _delta_fills(values_list, active, positions, K: int, widths=None):
     if widths is None:
         widths = [22] * len(values_list)
 
-    def one_fill(vals):
-        compact = jnp.zeros((n,), jnp.int32).at[slot].set(vals, mode="drop")
-        prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), compact[:-1]])
-        delta = compact - prev
-        seg = jnp.zeros((K,), jnp.int32).at[pos_compact].set(
-            delta, mode="drop"
-        )
-        return cumsum_i32(seg)
-
-    fills = []
-    for vals, wbits in zip(values_list, widths):
+    # All fills share the same scatter indices, so they batch into ONE row
+    # scatter of a (n, C) value block, ONE (K, C) row scatter of the deltas,
+    # and ONE column-batched MXU cumsum — profiled 7 serial one-column fills
+    # cost ~9.4 ms at K=590k on v5e (each pays its own K-sized zeros +
+    # scatter + cumsum pass); the batched form makes one pass over each
+    # buffer.  Values wider than 22 bits split into (>>15, &0x7FFF) column
+    # pairs so every fp32-carried partial sum stays exact below 2^24.
+    cols = []  # (value index, kind) with kind in {"all", "hi", "lo"}
+    stacked = []
+    for i, (vals, wbits) in enumerate(zip(values_list, widths)):
         if wbits <= 22:
-            fills.append(one_fill(vals))
+            cols.append((i, "all"))
+            stacked.append(vals)
         else:
             assert wbits <= 31, "split fill supports < 2^31"
-            hi = one_fill(vals >> 15)
-            lo = one_fill(vals & 0x7FFF)
-            fills.append((hi << 15) | lo)
+            cols.append((i, "hi"))
+            stacked.append(vals >> 15)
+            cols.append((i, "lo"))
+            stacked.append(vals & 0x7FFF)
+    vblock = jnp.stack(stacked, axis=1).astype(jnp.float32)  # (n, C)
+    C = vblock.shape[1]
+    compact = jnp.zeros((n, C), jnp.float32).at[slot].set(vblock, mode="drop")
+    prev = jnp.concatenate([jnp.zeros((1, C), jnp.float32), compact[:-1]])
+    delta = compact - prev
+    seg = jnp.zeros((K, C), jnp.float32).at[pos_compact].set(delta, mode="drop")
+    cs = cumsum_cols_f32(seg).astype(jnp.int32)  # (K, C)
+
+    parts = {}
+    for j, (i, kind) in enumerate(cols):
+        parts.setdefault(i, {})[kind] = cs[:, j]
+    fills = []
+    for i in range(len(values_list)):
+        p = parts[i]
+        if "all" in p:
+            fills.append(p["all"])
+        else:
+            fills.append((p["hi"] << 15) | p["lo"])
     return fills
 
 

@@ -198,10 +198,16 @@ def make_sharded_train_step(
         alive = st.alive
         a1 = alive[:, None]
 
+        cd = cfg.deform.compute_dtype
+        compute_dtype = (
+            jnp.bfloat16 if cd == "bfloat16"
+            else ("float32_3x" if cd == "float32_3x" else None)
+        )
         # Deformation on the local slice (renderer.deformed_attributes).
         if cfg.model.deform_mode == "offset":
             dx, d_scale, d_rot, d_shs = deform_mod.deform_offsets(
-                dparams, xyz, cam.time, iteration, cfg.deform
+                dparams, xyz, cam.time, iteration, cfg.deform,
+                compute_dtype=compute_dtype,
             )
             means3d = xyz + dx
             scales = jnp.exp(st.scaling + d_scale)
@@ -214,7 +220,10 @@ def make_sharded_train_step(
                 + d_shs.reshape(p_loc, cfg.deform.sh_coeffs, 3)
             )
         elif cfg.model.deform_mode == "se3":
-            means3d = deform_mod.deform_se3(dparams, xyz, cam.time, iteration, cfg.deform)
+            means3d = deform_mod.deform_se3(
+                dparams, xyz, cam.time, iteration, cfg.deform,
+                compute_dtype=compute_dtype,
+            )
             dx = means3d - xyz
             scales = jnp.exp(st.scaling)
             rotations = st.rotation
@@ -351,6 +360,9 @@ def make_sharded_train_step(
             "required": binning.required,
             "required_aligned": binning.total_aligned,
             "l1_local": l1_local,
+            "offset_norms_local": jax.lax.stop_gradient(
+                norms * alive.astype(jnp.float32)
+            ),
         }
         return loss_local, aux
 
@@ -422,6 +434,9 @@ def make_sharded_train_step(
             )
 
         gstate = jax.lax.cond(in_densify, upd_stats, lambda g: g, gstate)
+        gstate = gstate.replace(
+            last_offset_norm=aux["offset_norms_local"]
+        )
 
         params = {**gstate.params(), "offset_model": ts.deform}
         all_grads = {**g_gauss, "offset_model": g_deform}
@@ -493,6 +508,11 @@ def make_sharded_densify_step(
         sub = jax.random.fold_in(sub, midx)
         mu = {k: ts.adam.mu[k] for k in PARAM_GROUPS}
         nu = {k: ts.adam.nu[k] for k in PARAM_GROUPS}
+        offset_mask = None
+        if cfg.opt.densify_offset_gate > 0.0:
+            offset_mask = (
+                ts.gaussians.last_offset_norm >= cfg.opt.densify_offset_gate
+            )
         gstate, mu, nu, info = densify_and_prune(
             ts.gaussians, mu, nu, sub,
             grad_threshold=grad_threshold,
@@ -501,6 +521,7 @@ def make_sharded_densify_step(
             percent_dense=cfg.opt.percent_dense,
             use_screen_prune=use_screen_prune,
             max_screen_size=float(cfg.opt.max_screen_size),
+            offset_mask=offset_mask,
         )
         adam = ts.adam.replace(
             mu={**ts.adam.mu, **mu}, nu={**ts.adam.nu, **nu}

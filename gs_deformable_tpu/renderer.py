@@ -49,8 +49,10 @@ def deformed_attributes(
     attributes plus the raw offsets (for the offset-norm loss, train.py:329-332)."""
     xyz = state.xyz
     n = xyz.shape[0]
+    cd = cfg.deform.compute_dtype
     compute_dtype = (
-        jnp.bfloat16 if cfg.deform.compute_dtype == "bfloat16" else None
+        jnp.bfloat16 if cd == "bfloat16"
+        else ("float32_3x" if cd == "float32_3x" else None)
     )
     mode = cfg.model.deform_mode
     if mode == "offset":

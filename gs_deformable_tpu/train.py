@@ -72,6 +72,7 @@ def build_argparser() -> argparse.ArgumentParser:
         "position_lr_max_steps feature_lr opacity_lr scaling_lr rotation_lr "
         "percent_dense lambda_dssim densification_interval opacity_reset_interval "
         "densify_from_iter densify_until_iter densify_grad_threshold min_opacity "
+        "densify_offset_gate "
         "lambda_offset_norm offset_lr_init offset_lr_final"
     ).split():
         default = getattr(o, name)
@@ -166,6 +167,7 @@ def config_from_args(args) -> Config:
             densify_until_iter=args.densify_until_iter,
             densify_grad_threshold=args.densify_grad_threshold,
             min_opacity=args.min_opacity,
+            densify_offset_gate=args.densify_offset_gate,
         ),
     )
 

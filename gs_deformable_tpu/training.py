@@ -156,6 +156,7 @@ def make_train_step(
             aux = {
                 "ll1": ll1,
                 "offset_norm": offset_norm,
+                "offset_norms_pg": jax.lax.stop_gradient(norms * alive_f),
                 "ssim": ssim_val,
                 "psnr": psnr(img[None], gt_image[None]).mean(),
                 "radii": out.radii,
@@ -182,6 +183,10 @@ def make_train_step(
             lambda s: s,
             gstate,
         )
+
+        # Latest-frame per-gaussian |dx| (offset-gated densification input,
+        # reference train.py:659,673).
+        gstate = gstate.replace(last_offset_norm=aux["offset_norms_pg"])
 
         params = {**gstate.params(), "offset_model": ts.deform}
         grads = {**g_gauss, "offset_model": g_deform}
@@ -210,12 +215,22 @@ def make_train_step(
 
 
 def make_densify_step(cfg: Config, extent: float, use_screen_prune: bool):
-    """Jitted densify_and_prune on the reference gates (train.py:643-645)."""
+    """Jitted densify_and_prune on the reference gates (train.py:643-645).
+
+    ``cfg.opt.densify_offset_gate > 0`` additionally restricts clone/split to
+    gaussians whose latest deformation offset norm meets the threshold — the
+    reference's latent densify_and_prune_4offset capability
+    (gaussian_model.py:1154-1249 via the commented train.py:652-676)."""
 
     def run(ts: TrainState, grad_threshold, min_opacity):
         key, sub = jax.random.split(ts.key)
         mu = {k: ts.adam.mu[k] for k in PARAM_GROUPS}
         nu = {k: ts.adam.nu[k] for k in PARAM_GROUPS}
+        offset_mask = None
+        if cfg.opt.densify_offset_gate > 0.0:
+            offset_mask = (
+                ts.gaussians.last_offset_norm >= cfg.opt.densify_offset_gate
+            )
         gstate, mu, nu, info = densify_and_prune(
             ts.gaussians, mu, nu, sub,
             grad_threshold=grad_threshold,
@@ -224,6 +239,7 @@ def make_densify_step(cfg: Config, extent: float, use_screen_prune: bool):
             percent_dense=cfg.opt.percent_dense,
             use_screen_prune=use_screen_prune,
             max_screen_size=float(cfg.opt.max_screen_size),
+            offset_mask=offset_mask,
         )
         new_mu = {**ts.adam.mu, **mu}
         new_nu = {**ts.adam.nu, **nu}
@@ -299,6 +315,7 @@ def grow_capacity(ts: TrainState, new_capacity: int) -> TrainState:
         max_radii2d=pad(g.max_radii2d),
         xyz_gradient_accum=pad(g.xyz_gradient_accum),
         denom=pad(g.denom),
+        last_offset_norm=pad(g.last_offset_norm),
     )
     new_mu = {
         k: (pad(v) if k in PARAM_GROUPS else v) for k, v in ts.adam.mu.items()

@@ -179,3 +179,89 @@ def test_densify_offset_gated(rng):
     )
     assert int(info.n_cloned) == 1  # only the masked gaussian densifies
     assert int(info.n_split) == 0
+
+
+def test_offset_gated_densification():
+    """densify_offset_gate restricts clone/split to gaussians whose latest
+    deformation offset norm passes the threshold (reference latent
+    densify_and_prune_4offset, gaussian_model.py:1154-1249 via train.py:659:
+    offset_mask = norm(means3D_offset) >= 0.3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gs_deformable_tpu import training
+    from gs_deformable_tpu.config import Config, OptimizationConfig
+    from gs_deformable_tpu.models import gaussians as G
+
+    rng = np.random.default_rng(3)
+    n, cap = 24, 64
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    state = G.init_from_points(pts, cols, capacity=cap, sh_degree=1)
+    # every alive row passes the grad gate; only rows 0..11 pass the offset gate
+    accum = np.zeros((cap, 1), np.float32)
+    accum[:n] = 1.0
+    offs = np.zeros(cap, np.float32)
+    offs[:12] = 0.5
+    state = state.replace(
+        xyz_gradient_accum=jnp.asarray(accum),
+        denom=jnp.asarray(np.ones((cap, 1), np.float32)),
+        last_offset_norm=jnp.asarray(offs),
+    )
+
+    def run(gate):
+        cfg = Config(opt=OptimizationConfig(densify_offset_gate=gate))
+        # fresh buffers each run: the densify step donates its input state
+        st = jax.tree_util.tree_map(jnp.array, state)
+        ts = training.init_train_state(st, seed=0, cfg=cfg)
+        dens = training.make_densify_step(cfg, extent=3.0,
+                                          use_screen_prune=False)
+        ts2, info = dens(ts, jnp.float32(1e-4), jnp.float32(0.005))
+        return ts2, {k: int(v) for k, v in info.items()}
+
+    _, ungated = run(0.0)
+    _, gated = run(0.3)
+    assert ungated["n_cloned"] + ungated["n_split"] == n
+    assert gated["n_cloned"] + gated["n_split"] == 12
+    assert gated != ungated
+
+
+def test_train_step_records_offset_norms():
+    """The fused step stores the latest per-gaussian |dx| for the gate."""
+    import jax.numpy as jnp
+    import numpy as np
+    from gs_deformable_tpu import training
+    from gs_deformable_tpu.config import Config, DeformConfig, ModelConfig, RasterizeConfig
+    from gs_deformable_tpu.models import gaussians as G
+    from gs_deformable_tpu.renderer import CameraArrays
+    from gs_deformable_tpu.ops import transforms as tf
+
+    rng = np.random.default_rng(0)
+    n, cap = 20, 32
+    pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-0.7, 0.7, n),
+                    rng.uniform(3, 6, n)], -1).astype(np.float32)
+    cols = rng.uniform(0.2, 0.8, (n, 3)).astype(np.float32)
+    state = G.init_from_points(pts, cols, capacity=cap, sh_degree=1)
+    cfg = Config(
+        model=ModelConfig(sh_degree=1),
+        deform=DeformConfig(depth=2, width=32, warmup_iters=2, sh_coeffs=4),
+        raster=RasterizeConfig(instance_capacity=1024, chunk=8),
+    )
+    ts = training.init_train_state(state, seed=0, cfg=cfg)
+    fov = 0.8
+    view = np.eye(4, dtype=np.float32)
+    proj = tf.projection_matrix(0.01, 100.0, fov, fov)
+    cam = CameraArrays(
+        world_view=jnp.asarray(view), full_proj=jnp.asarray(view @ proj),
+        camera_center=jnp.zeros(3), time=jnp.float32(0.3),
+    )
+    step = training.make_train_step(
+        cfg, width=32, height=32, tan_fovx=float(np.tan(fov / 2)),
+        tan_fovy=float(np.tan(fov / 2)), active_sh_degree=0,
+        spatial_lr_scale=1.0,
+    )
+    gt = jnp.asarray(rng.uniform(0, 1, (3, 32, 32)), jnp.float32)
+    ts, _ = step(ts, cam, gt, jnp.zeros(3), jnp.asarray(10))  # past warmup
+    norms = np.asarray(ts.gaussians.last_offset_norm)
+    assert (norms[:n] > 0).any()  # deformation active -> nonzero offsets
+    assert (norms[n:] == 0).all()  # dead slots stay zero
