@@ -87,8 +87,9 @@ class RasterizeConfig:
     # the 128 lane width on real TPU (interpret mode accepts any value).
     chunk: int = 128
     # Tiles composited per Pallas grid step: DMA waves across the batch
-    # overlap and per-step overhead amortizes.
-    tile_batch: int = 4
+    # overlap and per-step overhead amortizes (outputs are bitwise identical
+    # across batch sizes; 8 measured ~0.25 ms faster than 4 at 1080p).
+    tile_batch: int = 8
     # Opacity-aware instance culling (see ops/projection.py): image- and
     # gradient-exact, changes only debug counters; False = reference radii.
     opacity_aware_radius: bool = True

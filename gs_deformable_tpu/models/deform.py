@@ -190,6 +190,11 @@ def deform_offsets(
         def blk(xb, tb):
             xe = posenc(xb, cfg.multires_xyz)
             te = posenc(tb, cfg.multires_time)
+            # Barrier: without it XLA fuses the sin/cos encoding into the
+            # first matmul's operand reads — recomputed per MXU pass, and
+            # (measured) the fused lowering's code grows with the row count
+            # past the 2 GiB executable cap at 131k rows.
+            xe, te = jax.lax.optimization_barrier((xe, te))
             return apply_mlp(params, xe, te, cfg.skips, compute_dtype)
 
         return _map_row_blocks(blk, (xyz, t), n, cfg.block_rows)

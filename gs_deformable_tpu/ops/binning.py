@@ -119,10 +119,15 @@ def tile_bounds_from_sorted(tile_sorted: jnp.ndarray, num_tiles: int):
     prev = jnp.concatenate(
         [jnp.full((1,), -1, jnp.int32), tile_sorted[:-1]]
     )
+    pos = jnp.arange(K, dtype=jnp.int32)
     is_b = tile_sorted != prev
-    idx = jnp.where(is_b, tile_sorted, num_tiles + 1)  # OOB rows drop
+    # Distinct ascending OOB sentinels (num_tiles+1+pos) keep the index set
+    # genuinely unique, unlocking XLA's fast scatter path (TPU scatters with
+    # potentially-duplicate indices lower to a serialized update loop —
+    # measured ~2.7 ms for this one boundary scatter at 590k keys).
+    idx = jnp.where(is_b, tile_sorted, num_tiles + 1 + pos)
     starts = jnp.full((num_tiles + 1,), K, jnp.int32).at[idx].set(
-        jnp.arange(K, dtype=jnp.int32), mode="drop"
+        pos, mode="drop", unique_indices=True
     )
     # Absent tiles take the next present tile's start: suffix min == reversed
     # cummax of the negation.
@@ -150,13 +155,23 @@ def _delta_fills(values_list, active, positions, K: int, widths=None):
     recombined.  Positions before the first active segment fill with 0.
     """
     n = active.shape[0]
+    npos = jnp.arange(n, dtype=jnp.int32)
     arank = cumsum_i32(active.astype(jnp.int32)) - 1
-    slot = jnp.where(active, arank, n)
-    # Compacted segment-start positions (inactive tail slots scatter to K and
+    # Distinct OOB sentinels (n+pos) make every scatter index UNIQUE, which
+    # unlocks XLA's vectorized scatter path (duplicate-capable scatters
+    # serialize on TPU; measured 5.2 ms for the batched fill scatter alone
+    # at bench scale).  The inactive sentinels interleave with active ranks,
+    # so this index set is unique but NOT sorted.
+    slot = jnp.where(active, arank, n + npos)
+    # Compacted segment-start positions (inactive tail slots scatter OOB and
     # drop).  Deltas are formed in compact space with a shift — gathers are
     # ~10x costlier than scatters on TPU, so no vals[prev] lookup.
-    pos_compact = jnp.full((n,), K, jnp.int32).at[slot].set(
-        positions, mode="drop"
+    # Init with ascending OOB sentinels K+j: after the active positions
+    # (ascending) land in the prefix, pos_compact is globally ascending AND
+    # unique — the downstream (K, C) fill scatter can claim both
+    # indices_are_sorted and unique_indices.
+    pos_compact = (K + npos).at[slot].set(
+        positions, mode="drop", unique_indices=True
     )
     if widths is None:
         widths = [22] * len(values_list)
@@ -182,10 +197,14 @@ def _delta_fills(values_list, active, positions, K: int, widths=None):
             stacked.append(vals & 0x7FFF)
     vblock = jnp.stack(stacked, axis=1).astype(jnp.float32)  # (n, C)
     C = vblock.shape[1]
-    compact = jnp.zeros((n, C), jnp.float32).at[slot].set(vblock, mode="drop")
+    compact = jnp.zeros((n, C), jnp.float32).at[slot].set(
+        vblock, mode="drop", unique_indices=True
+    )
     prev = jnp.concatenate([jnp.zeros((1, C), jnp.float32), compact[:-1]])
     delta = compact - prev
-    seg = jnp.zeros((K, C), jnp.float32).at[pos_compact].set(delta, mode="drop")
+    seg = jnp.zeros((K, C), jnp.float32).at[pos_compact].set(
+        delta, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
     cs = cumsum_cols_f32(seg).astype(jnp.int32)  # (K, C)
 
     parts = {}
@@ -387,10 +406,13 @@ def bin_gaussians(
     rank_in_tile = pos - start_fill
 
     in_tile = tile_sorted < num_tiles
-    new_pos = jnp.where(in_tile, chunk_base * chunk + rank_in_tile, Kp)
+    # Valid rows (sorted by tile, ranked within) produce strictly increasing
+    # positions; distinct ascending OOB sentinels (Kp+pos) keep the whole
+    # index array sorted AND unique — both scatter fast-path flags hold.
+    new_pos = jnp.where(in_tile, chunk_base * chunk + rank_in_tile, Kp + pos)
     new_pos, gid_sorted = jax.lax.optimization_barrier((new_pos, gid_sorted))
     gid_aligned = jnp.zeros((Kp,), jnp.int32).at[new_pos].set(
-        gid_sorted, mode="drop"
+        gid_sorted, mode="drop", unique_indices=True, indices_are_sorted=True
     )
     gid_aligned = jax.lax.optimization_barrier(gid_aligned)
 

@@ -393,7 +393,7 @@ def _serve_viewer(trainer: "Trainer", bg, iteration: int, cfg: Config,
                     world_view=jnp.asarray(camera["world_view"]),
                     full_proj=jnp.asarray(camera["full_proj"]),
                     camera_center=jnp.asarray(camera["camera_center"]),
-                    time=jnp.float32(0.0),
+                    time=jnp.float32(camera.get("time", 0.0)),
                 )
                 fn = training_mod.make_eval_render(
                     cfg, width=camera["width"], height=camera["height"],

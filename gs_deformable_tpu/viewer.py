@@ -98,7 +98,14 @@ def receive():
             world_view[:, 2] = -world_view[:, 2]
             full_proj = np.reshape(np.array(message["view_projection_matrix"]), (4, 4))
             full_proj[:, 1] = -full_proj[:, 1]
+            # Wire-compatible extension: the stock SIBR client sends no time
+            # (the reference MiniCam carries none either, scene/cameras.py:60
+            # — interactive views of a deformable scene are pinned to t=0);
+            # a time-aware client may add a "time" field to scrub the
+            # deformation, and absent ones keep the reference behavior.
+            time_val = float(message.get("time", 0.0))
             camera = {
+                "time": time_val,
                 "width": width,
                 "height": height,
                 "fovx": fovx,

@@ -18,6 +18,7 @@ def test_viewer_protocol_roundtrip():
         "fov_y": 0.7, "fov_x": 0.9, "z_near": 0.01, "z_far": 100.0,
         "shs_python": False, "rot_scale_python": False, "keep_alive": True,
         "scaling_modifier": 1.0,
+        "time": 0.37,  # wire-compatible extension (absent => 0.0)
         "view_matrix": list(np.eye(4).flatten()),
         "view_projection_matrix": list(np.eye(4).flatten()),
     }
@@ -46,6 +47,7 @@ def test_viewer_protocol_roundtrip():
     assert viewer.conn is not None
     cam, do_training, shs_py, cov_py, keep_alive, smod = viewer.receive()
     assert cam["width"] == 8 and cam["height"] == 6
+    assert abs(cam["time"] - 0.37) < 1e-9
     assert do_training and keep_alive and smod == 1.0
     # y/z columns sign-flipped (network_gui.py:75-78)
     np.testing.assert_allclose(cam["world_view"][:, 1], [0, -1, 0, 0])
