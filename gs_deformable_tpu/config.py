@@ -49,14 +49,20 @@ class DeformConfig:
     multires_time: int = 10  # posenc octaves for t (gaussian_model.py:249)
     warmup_iters: int = 3000  # static warmup gate (gaussian_model.py:308)
     sh_coeffs: int = 16  # SH head emits 16*3 = 48 values (gaussian_model.py:277)
-    # "bfloat16" runs the MLP matmuls on the MXU in bf16 with fp32 accumulation
-    # (weights stay fp32); "float32" matches the reference bit-for-bit.
-    compute_dtype: str = "float32"
-    # Rows per lax.map block of the MLP application.  XLA's TPU lowering of
-    # the trunk matmuls emits code proportional to the row count (131k rows
-    # serialize past the remote-AOT helper's 2 GiB executable cap); blocking
-    # keeps compiled size O(1) in N with identical arithmetic.  0 = unblocked.
-    block_rows: int = 8192
+    # MLP matmul precision tier.  "bfloat16" (default) runs the matmuls on
+    # the MXU in bf16 with fp32 accumulation (weights stay fp32);
+    # "float32_3x" = Precision.HIGH (3 bf16 passes, ~1e-6 relative);
+    # "float32" = Precision.HIGHEST, the reference-faithful fp32 tier.
+    # Measured on v5e (tools/profile_r5): the tiers train to PSNR@300 of
+    # 44.1 / 41.8 / 42.7 on the synthetic deformable target (bf16 is not a
+    # quality loss — the MLP is a trained component, not a parity surface),
+    # while the per-frame MLP cost is 2.5 / 5.2 / 6.4 ms at 131k gaussians.
+    compute_dtype: str = "bfloat16"
+    # Rows per lax.map block of the MLP application: bounds compiled code
+    # size (an unbounded fused posenc+matmul lowering grew with the row
+    # count past the remote-AOT helper's 2 GiB executable cap) with
+    # identical arithmetic.  0 = unblocked.
+    block_rows: int = 65536
 
 
 @dataclasses.dataclass(frozen=True)

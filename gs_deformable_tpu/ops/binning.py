@@ -14,7 +14,9 @@ Two TPU-specific deltas from the CUDA version:
 
 1. The instance list has a *static* capacity; the true required size is
    returned so overflow is surfaced (never silent) — SURVEY.md section 7.1.
-   Overflowing instances drop deterministically from the end of emission order.
+   Overflowing instances drop deterministically from the end of the emission
+   order; exact/radix modes emit rank-major (depth-sorted), so the DEEPEST
+   instances — the least visible — drop first.
 2. Each tile's range is *aligned to the kernel chunk size* (128 = the TPU lane
    width): after sorting, instances are scattered into a padded layout where
    tile t owns rows [chunk_start[t]*chunk, +ceil(count/chunk)*chunk).  This is
@@ -135,6 +137,36 @@ def tile_bounds_from_sorted(tile_sorted: jnp.ndarray, num_tiles: int):
     return bounds
 
 
+def tile_bounds_via_sort(tile_sorted: jnp.ndarray, num_tiles: int):
+    """tile_bounds_from_sorted with the K-update scatter replaced by a sort.
+
+    This environment's XLA scatters run ~210M updates/s while lax.sort runs
+    ~1.4G elem/s (tools/profile_r5/r6): the 590k-row boundary scatter costs
+    ~2.8 ms, so instead the ~T boundary rows are COMPACTED to the front with
+    one single-key (K, 2) sort and scattered from there (<= T+1 updates).
+    Bitwise-identical bounds.
+    """
+    K = tile_sorted.shape[0]
+    T1 = min(num_tiles + 1, K)
+    pos = jnp.arange(K, dtype=jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), tile_sorted[:-1]])
+    is_b = tile_sorted != prev
+    # Boundary rows keep their tile (the num_tiles sentinel of invalid slots
+    # is a real "tile": its boundary is the end of the valid stream, exactly
+    # bounds[num_tiles]); non-boundaries sort to the back.
+    bkey = jnp.where(is_b, tile_sorted, num_tiles + 1)
+    bkey_s, bpos_s = jax.lax.sort((bkey, pos), num_keys=1, is_stable=True)
+    head_key = bkey_s[:T1]
+    head_pos = bpos_s[:T1]
+    live = head_key <= num_tiles
+    idx = jnp.where(live, head_key, num_tiles + 1 + jnp.arange(T1, dtype=jnp.int32))
+    starts = jnp.full((num_tiles + 1,), K, jnp.int32).at[idx].set(
+        head_pos, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
+    bounds = -cummax_i32(-starts[::-1])[::-1]
+    return bounds
+
+
 def _delta_fills(values_list, active, positions, K: int, widths=None):
     """Segment-fill (K,) arrays with per-segment constants via delta cumsum.
 
@@ -167,11 +199,12 @@ def _delta_fills(values_list, active, positions, K: int, widths=None):
     # drop).  Deltas are formed in compact space with a shift — gathers are
     # ~10x costlier than scatters on TPU, so no vals[prev] lookup.
     # Init with ascending OOB sentinels K+j: after the active positions
-    # (ascending) land in the prefix, pos_compact is globally ascending AND
-    # unique — the downstream (K, C) fill scatter can claim both
-    # indices_are_sorted and unique_indices.
+    # (ascending; overflow positions >= K clamp into the OOB band to keep
+    # global order) land in the prefix, pos_compact is ascending AND unique —
+    # the downstream (K, C) fill scatter can claim both indices_are_sorted
+    # and unique_indices.
     pos_compact = (K + npos).at[slot].set(
-        positions, mode="drop", unique_indices=True
+        jnp.minimum(positions, K + arank), mode="drop", unique_indices=True
     )
     if widths is None:
         widths = [22] * len(values_list)
@@ -202,6 +235,59 @@ def _delta_fills(values_list, active, positions, K: int, widths=None):
     )
     prev = jnp.concatenate([jnp.zeros((1, C), jnp.float32), compact[:-1]])
     delta = compact - prev
+    seg = jnp.zeros((K, C), jnp.float32).at[pos_compact].set(
+        delta, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
+    cs = cumsum_cols_f32(seg).astype(jnp.int32)  # (K, C)
+
+    parts = {}
+    for j, (i, kind) in enumerate(cols):
+        parts.setdefault(i, {})[kind] = cs[:, j]
+    fills = []
+    for i in range(len(values_list)):
+        p = parts[i]
+        if "all" in p:
+            fills.append(p["all"])
+        else:
+            fills.append((p["hi"] << 15) | p["lo"])
+    return fills
+
+
+def _prefix_fills(values_list, active, positions, K: int, widths=None):
+    """_delta_fills for inputs whose active rows form a FRONT PREFIX.
+
+    The exact-mode front-end sort compacts emitting gaussians to the front,
+    so the compaction scatters of _delta_fills vanish: deltas come from a
+    plain row shift, and the single remaining scatter (segment deltas into
+    (K, C)) has genuinely sorted, unique indices (positions ascend over the
+    active prefix; distinct ascending OOB sentinels pad the tail).
+    """
+    n = active.shape[0]
+    npos = jnp.arange(n, dtype=jnp.int32)
+    # Positions >= K (overflow truncation) drop; clamping them into the
+    # ascending OOB band keeps the index array globally sorted even then.
+    pos_compact = jnp.where(
+        active, jnp.minimum(positions, K + npos), K + npos
+    )
+    if widths is None:
+        widths = [22] * len(values_list)
+
+    cols = []
+    stacked = []
+    for i, (vals, wbits) in enumerate(zip(values_list, widths)):
+        if wbits <= 22:
+            cols.append((i, "all"))
+            stacked.append(vals)
+        else:
+            assert wbits <= 31, "split fill supports < 2^31"
+            cols.append((i, "hi"))
+            stacked.append(vals >> 15)
+            cols.append((i, "lo"))
+            stacked.append(vals & 0x7FFF)
+    vblock = jnp.stack(stacked, axis=1).astype(jnp.float32)  # (n, C)
+    C = vblock.shape[1]
+    prev = jnp.concatenate([jnp.zeros((1, C), jnp.float32), vblock[:-1]])
+    delta = vblock - prev  # rows past the prefix scatter OOB and drop
     seg = jnp.zeros((K, C), jnp.float32).at[pos_compact].set(
         delta, mode="drop", unique_indices=True, indices_are_sorted=True
     )
@@ -298,6 +384,26 @@ def bin_gaussians(
                 jnp.zeros((P,), jnp.int32).at[rank].set(tile_mask, mode="drop")
             )
         ids = perm  # original gaussian index, in rank order
+    elif sort_mode == "exact":
+        # Rank-major front-end, ONE multi-payload P-sort: keys are
+        # (not-emitting, depth) so the emitting gaussians compact to the
+        # FRONT in depth order (stable — equal depths keep gaussian-index
+        # order, the CUB tiebreak).  Emitting the instance stream in this
+        # rank-major order lets the instance sort use the tile id ALONE
+        # (stability supplies the depth/emission order within each tile,
+        # reproducing rasterizer_impl.cu:300-308 bit-for-bit), and the
+        # front-compaction feeds _prefix_fills, whose only scatter is the
+        # (K, C) segment-delta write.  This environment's scatters run
+        # ~210M updates/s while lax.sort runs ~1.4G elem/s (profile_r5/r6),
+        # so the sort-based front-end replaces ~6 ms of scatters.
+        inactive = (t <= 0).astype(jnp.int32)
+        ops = [inactive, depths, ids, t, code]
+        if tile_mask is not None:
+            ops.append(tile_mask)
+        s = jax.lax.sort(tuple(ops), num_keys=2, is_stable=True)
+        ids, t, code = s[2], s[3], s[4]
+        if tile_mask is not None:
+            tile_mask = s[5]
 
     cum = cumsum_i32(t)  # inclusive prefix sum (MXU-blocked)
     offsets = cum - t  # exclusive
@@ -311,7 +417,7 @@ def bin_gaussians(
     # ~7.5ms on v5e; six fills cost ~1ms total).  The rect is packed as
     # x0/y0/width in 10 bits each (grids up to 1023x1023 tiles = 16k x 16k
     # pixels); the depth's positive-float bits are order-preserving as int.
-    if sort_mode == "radix":
+    if sort_mode in ("radix", "exact"):
         vals = [ids, offsets, code]
         widths = [22, 22, 30]
     else:
@@ -321,9 +427,12 @@ def bin_gaussians(
     if tile_mask is not None:
         vals.append(tile_mask)
         widths.append(17)
-    fills = _delta_fills(vals, t > 0, offsets, K, widths=widths)
+    if sort_mode == "exact":
+        fills = _prefix_fills(vals, t > 0, offsets, K, widths=widths)
+    else:
+        fills = _delta_fills(vals, t > 0, offsets, K, widths=widths)
     safe_gid, offs, ic = fills[:3]
-    idb = None if sort_mode == "radix" else fills[3]
+    idb = None if sort_mode in ("radix", "exact") else fills[3]
     pos = jnp.arange(K, dtype=jnp.int32)
     valid = pos < jnp.minimum(required, K)
     rank = pos - offs
@@ -359,6 +468,15 @@ def bin_gaussians(
         tile_sorted, gid_sorted = tid, gid_s
         bounds = tile_bounds_from_sorted(tile_sorted, num_tiles)
         depth_key = None
+    elif sort_mode == "exact":
+        # Stable single-key sort on the tile id of the rank-major stream —
+        # bit-exact CUB order, one key fewer than the old (tile, depth)
+        # 2-key sort, no depth fill columns.
+        tile_id = jax.lax.optimization_barrier(tile_id)
+        tile_sorted, gid_sorted = jax.lax.sort(
+            (tile_id, safe_gid), num_keys=1, is_stable=True
+        )
+        bounds = tile_bounds_via_sort(tile_sorted, num_tiles)
     else:
         depth_key = jnp.where(
             valid, idb.view(jnp.float32), jnp.inf
@@ -377,12 +495,7 @@ def bin_gaussians(
             (key, safe_gid), num_keys=1, is_stable=True
         )
         tile_sorted = (key_sorted >> 19).astype(jnp.int32)
-        bounds = tile_bounds_from_sorted(tile_sorted, num_tiles)
-    elif sort_mode != "radix":
-        tile_sorted, _, gid_sorted = jax.lax.sort(
-            (tile_id, depth_key, safe_gid), num_keys=2, is_stable=True
-        )
-        bounds = tile_bounds_from_sorted(tile_sorted, num_tiles)
+        bounds = tile_bounds_via_sort(tile_sorted, num_tiles)
     tile_start = bounds[:-1]
     tile_count = bounds[1:] - bounds[:-1]
     num_instances = jnp.minimum(required, K).astype(jnp.int32)
@@ -409,7 +522,13 @@ def bin_gaussians(
     # Valid rows (sorted by tile, ranked within) produce strictly increasing
     # positions; distinct ascending OOB sentinels (Kp+pos) keep the whole
     # index array sorted AND unique — both scatter fast-path flags hold.
-    new_pos = jnp.where(in_tile, chunk_base * chunk + rank_in_tile, Kp + pos)
+    # Aligned-overflow positions >= Kp clamp into the OOB band (they drop
+    # either way; total_aligned surfaces the true need).
+    new_pos = jnp.where(
+        in_tile,
+        jnp.minimum(chunk_base * chunk + rank_in_tile, Kp + pos),
+        Kp + pos,
+    )
     new_pos, gid_sorted = jax.lax.optimization_barrier((new_pos, gid_sorted))
     gid_aligned = jnp.zeros((Kp,), jnp.int32).at[new_pos].set(
         gid_sorted, mode="drop", unique_indices=True, indices_are_sorted=True

@@ -18,14 +18,20 @@ from gs_deformable_tpu.ops.binning import (
 from gs_deformable_tpu.ops.scan_utils import cumsum_i32, cumsum_f32, cummax_i32
 
 
-def numpy_binning(tiles_touched, rect, depths, grid_x, grid_y, capacity, chunk):
+def numpy_binning(tiles_touched, rect, depths, grid_x, grid_y, capacity, chunk,
+                  rank_major=False):
     """Oracle: emission order y-outer/x-inner, stable (tile, depth) sort,
-    chunk-aligned per-tile layout."""
+    chunk-aligned per-tile layout.  ``rank_major`` enumerates gaussians in
+    (depth, index) order — the exact/radix modes' emission, which governs
+    which instances overflow truncation drops (the deepest ones).  Without
+    overflow, both enumerations sort to the identical stream."""
     P = len(tiles_touched)
     num_tiles = grid_x * grid_y
     inst = []  # (tile, depth, emission_index, gid)
     k = 0
-    for g in range(P):
+    order = (sorted(range(P), key=lambda g: (depths[g], g))
+             if rank_major else range(P))
+    for g in order:
         if tiles_touched[g] == 0:
             continue
         x0, y0, x1, _ = rect[g]
@@ -102,8 +108,10 @@ def test_binning_overflow_truncates_from_emission_end(rng):
         jnp.asarray(tt), jnp.asarray(rect), jnp.asarray(depths),
         grid_x=grid_x, grid_y=grid_y, capacity=small, chunk=chunk,
     )
+    # Truncation drops from the end of the rank-major (depth-sorted)
+    # emission order: the DEEPEST instances overflow first.
     gid_ref, cs_ref, cnt_ref, req_ref = numpy_binning(
-        tt, rect, depths, grid_x, grid_y, small, chunk)
+        tt, rect, depths, grid_x, grid_y, small, chunk, rank_major=True)
     assert int(b.required) == req_ref > small  # overflow surfaced
     assert int(b.num_instances) == small
     np.testing.assert_array_equal(np.asarray(b.tile_count), cnt_ref)

@@ -1,0 +1,125 @@
+"""Round-2 job 5: validate binning v3 (sort-based front-end) + new defaults.
+
+fori methodology; then the caller runs bench.py in the same TPU job.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gs_deformable_tpu.config import Config, RasterizeConfig
+from gs_deformable_tpu.models import gaussians as G
+from gs_deformable_tpu.ops import transforms as tf
+from gs_deformable_tpu.ops.binning import bin_gaussians
+from gs_deformable_tpu.ops.projection import ndc2pix, preprocess, tile_ellipse_mask
+from gs_deformable_tpu.ops.transforms import build_cov3d
+from gs_deformable_tpu import training
+from gs_deformable_tpu.renderer import CameraArrays, render
+
+ITERS = 10
+
+
+def timeit(name, fn, *args):
+    @jax.jit
+    def loop(args):
+        def body(i, carry):
+            return carry * 0.0 + fn(carry * 0.0, *args)
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    try:
+        t0 = time.time()
+        float(loop(args))
+        compile_s = time.time() - t0
+        t0 = time.time()
+        float(loop(args))
+    except Exception as e:
+        print(f"{name:44s} FAIL {type(e).__name__}: {str(e)[:100]}", flush=True)
+        return None
+    dt = (time.time() - t0) / ITERS
+    print(f"{name:44s} {dt*1e3:9.3f} ms   (compile {compile_s:.0f}s)", flush=True)
+    return dt
+
+
+def main():
+    n = 100_000
+    cap = 131_072
+    icap = 576 * 1024
+    slack = 640 * 1024
+    rng = np.random.default_rng(0)
+    cfg = Config(raster=RasterizeConfig(
+        instance_capacity=icap, chunk=128, aligned_slack=slack))
+    rc = cfg.raster
+
+    pts = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-1.2, 1.2, n), rng.uniform(2.5, 12, n)],
+        -1,
+    ).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    state = G.init_from_points(pts, cols, capacity=cap, sh_degree=3)
+    scal = np.log(0.01 * rng.uniform(0.5, 2.0, (n, 3))).astype(np.float32)
+    state = state.replace(scaling=jnp.asarray(np.pad(scal, ((0, cap - n), (0, 0)))))
+    ts = training.init_train_state(state, seed=0, cfg=cfg)
+
+    W, H = 1920, 1080
+    fov = 1.0
+    fovy = 2 * np.arctan(np.tan(fov / 2) * H / W)
+    proj = tf.projection_matrix(0.01, 100.0, fov, fovy)
+    view = np.eye(4, dtype=np.float32)
+    cam = CameraArrays(
+        world_view=jnp.asarray(view),
+        full_proj=jnp.asarray(view @ proj),
+        camera_center=jnp.zeros(3),
+        time=jnp.float32(0.5),
+    )
+    tanx, tany = float(np.tan(fov / 2)), float(np.tan(fovy / 2))
+    grid_x, grid_y = (W + 15) // 16, (H + 15) // 16
+
+    g = ts.gaussians
+    scales = jnp.exp(g.scaling)
+    rotations = g.rotation / jnp.linalg.norm(g.rotation, axis=-1, keepdims=True)
+    opacities = jax.nn.sigmoid(g.opacity)[:, 0]
+    cov3d = build_cov3d(scales, rotations, 1.0)
+    pre = preprocess(
+        g.xyz, cov3d, cam.world_view, cam.full_proj,
+        width=W, height=H, tan_fovx=tanx, tan_fovy=tany,
+        tile_x=16, tile_y=16, alive=g.alive, opacities=opacities,
+    )
+    pix = jnp.stack([ndc2pix(pre.means2d_ndc[:, 0], W),
+                     ndc2pix(pre.means2d_ndc[:, 1], H)], -1)
+    tmask, tt = tile_ellipse_mask(
+        pix, pre.conics, opacities, pre.rect, pre.tiles_touched,
+        tile_x=16, tile_y=16)
+    (tt, tmask, pre) = jax.block_until_ready(jax.device_put((tt, tmask, pre)))
+
+    timeit("loop overhead (empty body)", lambda c: c + 1.0)
+
+    def f_bin(c, tt_, rect_, depths_, tmask_):
+        bb = bin_gaussians(
+            tt_, rect_, depths_ + c,
+            grid_x=grid_x, grid_y=grid_y, capacity=icap, chunk=128,
+            sort_mode="exact", aligned_slack=slack, tile_mask=tmask_)
+        return (bb.gid[0] + bb.tile_count[0]).astype(jnp.float32)
+    timeit("binning TOTAL v3 (sort front-end)", f_bin, tt, pre.rect,
+           pre.depths, tmask)
+
+    def f_render(c, gstate, deform):
+        out, _ = render(
+            gstate, deform, cam._replace(time=cam.time + c),
+            iteration=jnp.asarray(10_000), bg=jnp.zeros(3),
+            width=W, height=H, tan_fovx=tanx, tan_fovy=tany,
+            active_sh_degree=3, cfg=cfg,
+        )
+        return out.image[0, 0, 0]
+    timeit("FULL render 1080p (new defaults)", f_render, ts.gaussians,
+           ts.deform)
+
+
+if __name__ == "__main__":
+    main()
