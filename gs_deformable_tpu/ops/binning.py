@@ -219,7 +219,9 @@ def _delta_fills(values_list, active, positions, K: int, widths=None):
     cols = []  # (value index, kind) with kind in {"all", "hi", "lo"}
     stacked = []
     for i, (vals, wbits) in enumerate(zip(values_list, widths)):
-        if wbits <= 22:
+        if wbits <= 23:
+            # exact: any partial delta sum telescopes to v_a - v_b with
+            # v in [0, 2^wbits), so |partial| < 2^23 <= fp32's 2^24 window
             cols.append((i, "all"))
             stacked.append(vals)
         else:
@@ -275,7 +277,9 @@ def _prefix_fills(values_list, active, positions, K: int, widths=None):
     cols = []
     stacked = []
     for i, (vals, wbits) in enumerate(zip(values_list, widths)):
-        if wbits <= 22:
+        if wbits <= 23:
+            # exact: any partial delta sum telescopes to v_a - v_b with
+            # v in [0, 2^wbits), so |partial| < 2^23 <= fp32's 2^24 window
             cols.append((i, "all"))
             stacked.append(vals)
         else:
@@ -288,10 +292,13 @@ def _prefix_fills(values_list, active, positions, K: int, widths=None):
     C = vblock.shape[1]
     prev = jnp.concatenate([jnp.zeros((1, C), jnp.float32), vblock[:-1]])
     delta = vblock - prev  # rows past the prefix scatter OOB and drop
-    seg = jnp.zeros((K, C), jnp.float32).at[pos_compact].set(
-        delta, mode="drop", unique_indices=True, indices_are_sorted=True
-    )
-    cs = cumsum_cols_f32(seg).astype(jnp.int32)  # (K, C)
+    # Streamed placement+prefix kernel — XLA's scatter costs ~40ns/row here
+    # (the whole fill scatter ~5.2 ms at bench scale); the kernel is ~2 ms
+    # and bit-identical (integer values < 2^24 in fp32 are exact under any
+    # accumulation order).
+    from .pallas.ordered_fill import ordered_prefix_fill
+
+    cs = ordered_prefix_fill(pos_compact, delta, K).astype(jnp.int32)
 
     parts = {}
     for j, (i, kind) in enumerate(cols):
@@ -361,7 +368,17 @@ def bin_gaussians(
     t = tiles_touched.astype(jnp.int32)
     ids = jnp.arange(P, dtype=jnp.int32)
     w_t = jnp.maximum(rect[:, 2] - rect[:, 0], 1)
-    code = (rect[:, 0] << 20) | (rect[:, 1] << 10) | w_t
+    # Rect code: [base_tile | width] in 23 bits when the grid is small enough
+    # (one fill column; exact because every partial delta sum telescopes to a
+    # difference of two values in [0, 2^23) — inside fp32's 2^24 window),
+    # otherwise the generic [x0 | y0 | w] 30-bit form (two fill columns).
+    small_grid = num_tiles < (1 << 13) and grid_x <= (1 << 10)
+    if small_grid:
+        code = ((rect[:, 1] * grid_x + rect[:, 0]) << 10) | w_t
+        code_bits = 23
+    else:
+        code = (rect[:, 0] << 20) | (rect[:, 1] << 10) | w_t
+        code_bits = 30
 
     if sort_mode == "radix":
         # Depth leaves the instance sort entirely: rank the P gaussians by
@@ -419,11 +436,11 @@ def bin_gaussians(
     # pixels); the depth's positive-float bits are order-preserving as int.
     if sort_mode in ("radix", "exact"):
         vals = [ids, offsets, code]
-        widths = [22, 22, 30]
+        widths = [22, 22, code_bits]
     else:
         dbits = depths.view(jnp.int32)
         vals = [ids, offsets, code, dbits]
-        widths = [22, 22, 30, 31]
+        widths = [22, 22, code_bits, 31]
     if tile_mask is not None:
         vals.append(tile_mask)
         widths.append(17)
@@ -442,13 +459,16 @@ def bin_gaussians(
         slot = _kth_set_bit(imask & 0xFFFF, rank)
         rank = jnp.where(flagged, slot, rank)
 
-    iw = ic & 0x3FF
-    iy0 = (ic >> 10) & 0x3FF
-    ix0 = ic >> 20
     # duplicateWithKeys iterates y-outer / x-inner (rasterizer_impl.cu:89-103).
-    tx = ix0 + rank % iw
-    ty = iy0 + rank // iw
-    tile_id = jnp.where(valid, ty * grid_x + tx, num_tiles).astype(jnp.int32)
+    iw = ic & 0x3FF
+    if small_grid:
+        btile = ic >> 10  # y0 * grid_x + x0
+        tile_id = btile + (rank // iw) * grid_x + rank % iw
+    else:
+        iy0 = (ic >> 10) & 0x3FF
+        ix0 = ic >> 20
+        tile_id = (iy0 + rank // iw) * grid_x + (ix0 + rank % iw)
+    tile_id = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
 
     if sort_mode == "radix":
         # Stable tile partition of the rank-major stream: LSD counting
