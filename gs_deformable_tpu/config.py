@@ -157,6 +157,13 @@ class RasterizeConfig:
     # rounding differs at ~1e-7 relative (both ~1e-7 from the sequential
     # CUDA order).
     scan_mode: str = "log"
+    # Per-gaussian gradient reduction for the sorted-splat gather's VJP.
+    # "sort" = single-key gid sort + MXU cumsum + boundary diffs
+    # (ops/segsum.py) — this environment's TPU scatters serialize at ~210M
+    # updates/s while sorts run ~1.4G elem/s, so the scatter-ADD the gather
+    # transpose lowers to dominates the train backward.  "scatter" = XLA's
+    # native lowering (round-1 behavior, kept for A/B).
+    grad_reduce: str = "sort"
     # Composite termination threshold (forward.cu:347).
     transmittance_eps: float = 1e-4
     # Per-splat alpha clamp (forward.cu:343-344).

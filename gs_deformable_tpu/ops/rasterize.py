@@ -32,6 +32,7 @@ from ..config import RasterizeConfig
 from . import sh as sh_ops
 from .binning import aligned_capacity, bin_gaussians
 from .pallas.composite import SPLAT_WIDTH, make_tile_composite
+from .segsum import gather_splats_t
 from .projection import ndc2pix, preprocess, tile_ellipse_mask
 from .transforms import build_cov3d
 
@@ -117,14 +118,11 @@ def rasterize_arrays(
         ],
         axis=1,
     )
-    # Field-major sorted layout; the transpose of this gather is the sorted
-    # per-gaussian segment-sum of the backward's per-instance gradient rows.
-    # Barriers keep the gather and the relayout as standalone ops: XLA's
-    # fusion of them into surrounding producers measured far slower, as did a
-    # nine-way per-field 1-D gather formulation (4x slower end to end).
-    splats = jax.lax.optimization_barrier(splats)
-    sorted_splats = jax.lax.optimization_barrier(splats[binning.gid])
-    sorted_splats_t = jax.lax.optimization_barrier(sorted_splats.T)
+    # Field-major sorted layout; the VJP is the per-gaussian segment-sum of
+    # the backward's per-instance gradient rows — sort-based by default
+    # (ops/segsum.py; XLA's native gather-transpose scatter-ADD serializes
+    # at ~210M updates/s in this environment).
+    sorted_splats_t = gather_splats_t(splats, binning.gid, cfg.grad_reduce)
 
     Kp = aligned_capacity(
         cfg.instance_capacity, grid_x * grid_y, layout_unit, cfg.aligned_slack

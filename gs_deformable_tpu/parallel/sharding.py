@@ -53,6 +53,7 @@ from ..ops import sh as sh_ops
 from ..ops.binning import aligned_capacity, bin_gaussians
 from ..ops.pallas.composite import SPLAT_WIDTH, make_tile_composite
 from ..ops.projection import ndc2pix, preprocess
+from ..ops.segsum import gather_splats_t
 from ..ops.transforms import build_cov3d
 from ..renderer import CameraArrays
 from ..training import TrainState, learning_rates
@@ -308,8 +309,7 @@ def make_sharded_train_step(
             ],
             axis=1,
         )
-        splats = jax.lax.optimization_barrier(splats)
-        sorted_splats_t = jax.lax.optimization_barrier(splats[binning.gid]).T
+        sorted_splats_t = gather_splats_t(splats, binning.gid, r.grad_reduce)
         out_tiles = comp(
             sorted_splats_t, binning.tile_chunk_start, binning.tile_count
         )[: grid_x * band_rows]
