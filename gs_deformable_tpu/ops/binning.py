@@ -550,9 +550,13 @@ def bin_gaussians(
         Kp + pos,
     )
     new_pos, gid_sorted = jax.lax.optimization_barrier((new_pos, gid_sorted))
-    gid_aligned = jnp.zeros((Kp,), jnp.int32).at[new_pos].set(
-        gid_sorted, mode="drop", unique_indices=True, indices_are_sorted=True
-    )
+    # Streamed placement kernel — this scatter (sorted unique indices, K
+    # rows) still measured ~2.6 ms at bench scale under this environment's
+    # serialized TPU scatters; the place-mode kernel is bit-identical
+    # (integer ids in fp32 lanes, single placement matmul per ring slot).
+    from .pallas.ordered_fill import ordered_place_i32
+
+    gid_aligned = ordered_place_i32(new_pos, gid_sorted, Kp)
     gid_aligned = jax.lax.optimization_barrier(gid_aligned)
 
     return Binning(

@@ -1,23 +1,29 @@
-"""Pallas kernel: column-wise prefix sum of deltas scattered at sorted rows.
+"""Pallas kernels: prefix-fill / placement of values scattered at sorted rows.
 
-Computes, for sorted unique int32 positions ``pos`` (entries >= K drop) and
-fp32 deltas (n, C):
+``ordered_prefix_fill`` computes, for sorted unique int32 positions ``pos``
+(entries >= K drop) and fp32 deltas (n, C):
 
     out[k, c] = sum over j with pos[j] <= k of delta[j, c]        (K, C)
 
 i.e. exactly ``cumsum_cols(zeros(K, C).at[pos].set(delta))`` — the segment
-fill primitive of ops/binning.  XLA's TPU scatter costs ~40 ns per scattered
-ROW in this environment regardless of mode/uniqueness hints (tools/
-profile_r8: the 131k-row fill scatter alone is ~5.2 ms at bench scale), so
-this kernel replaces scatter+cumsum with a streamed prefix-placement:
+fill primitive of ops/binning.  ``ordered_place_i32`` is the no-prefix
+sibling: ``zeros(K).at[pos].set(vals)`` (the chunk-aligned relayout).
+XLA's TPU scatter costs ~40 ns per scattered ROW in this environment
+regardless of mode/uniqueness hints (tools/profile_r8: the 131k-row fill
+scatter alone is ~5.2 ms at bench scale), so these kernels replace
+scatter(+cumsum) with a streamed placement:
 
-- the grid walks output blocks of ``block`` rows SEQUENTIALLY, carrying the
-  running column sums in persistent VMEM scratch;
-- a 2-slot ring of input chunks (aligned DMA, advanced by prefetched
-  per-block input offsets) holds every input row that can land in the
-  current block;
-- placement + prefix happen as ONE masked matmul per ring slot:
-  W[r, j] = (0 <= pos_j - base <= r), out_block = carry + sum_s W_s @ delta_s.
+- the grid walks output blocks of ``block`` rows SEQUENTIALLY; the prefix
+  variant carries the running column sums in persistent VMEM scratch;
+- because positions are sorted and unique, every input row that can land in
+  output block b lies in rows [starts[b], starts[b] + block] — one aligned
+  2*block DMA window per block covers it (double-buffered across blocks via
+  two explicit scratch pairs; Mosaic permits neither sub-tile slices of a
+  1-D ring nor sublane-dim slicing of a (2, block) int32 ring, so the slots
+  are separate buffers selected by block parity);
+- placement (+ prefix) is ONE masked matmul per block:
+  W[r, j] = (0 <= pos_j - base <= r)  (prefix)  /  (pos_j - base == r)
+  (place), out_block = [carry +] W @ delta_window.
 
 Exactness: the fills carry integers < 2^24 in fp32 lanes; every partial sum
 is integral and below 2^24, so ANY accumulation order (MXU matmul included —
@@ -34,63 +40,88 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(starts_ref, pos_hbm, delta_hbm, out_ref, carry, pbuf, dbuf,
-            meta, sem, *, block: int, C: int, nb: int):
+def _kernel(starts_ref, pos_hbm, delta_hbm, out_ref, carry,
+            pbuf_a, dbuf_a, pbuf_b, dbuf_b, sem,
+            *, block: int, C: int, n_pad: int, nb: int, prefix: bool):
     b = pl.program_id(0)
+    win = 2 * block
+
+    def window_start(idx):
+        aligned = (starts_ref[idx] // block) * block
+        return jnp.minimum(aligned, n_pad - win)
+
+    def copies(idx, pb, db, s0, s1):
+        start = window_start(idx)
+        return (
+            pltpu.make_async_copy(
+                pos_hbm.at[pl.ds(start, win)], pb, sem.at[s0]
+            ),
+            pltpu.make_async_copy(
+                delta_hbm.at[pl.ds(start, win), :], db, sem.at[s1]
+            ),
+        )
+
+    def issue(idx):
+        @pl.when(idx % 2 == 0)
+        def _():
+            for cp in copies(idx, pbuf_a, dbuf_a, 0, 1):
+                cp.start()
+
+        @pl.when(idx % 2 == 1)
+        def _():
+            for cp in copies(idx, pbuf_b, dbuf_b, 2, 3):
+                cp.start()
+
+    def wait(idx):
+        @pl.when(idx % 2 == 0)
+        def _():
+            for cp in copies(idx, pbuf_a, dbuf_a, 0, 1):
+                cp.wait()
+
+        @pl.when(idx % 2 == 1)
+        def _():
+            for cp in copies(idx, pbuf_b, dbuf_b, 2, 3):
+                cp.wait()
 
     @pl.when(b == 0)
     def _():
-        carry[:] = jnp.zeros((1, C), jnp.float32)
-        meta[0] = -1  # highest loaded chunk index
-        # Unloaded ring slots must never place: park positions out of range
-        # AND zero the deltas (a 0-weight times NaN garbage is still NaN
-        # through the placement matmul).
-        pbuf[:, :] = jnp.full((2, block), 2_000_000_000, jnp.int32)
-        dbuf[:, :, :] = jnp.zeros((2, block, C), jnp.float32)
+        if prefix:
+            carry[:] = jnp.zeros((1, C), jnp.float32)
+        issue(0)
 
-    def load(cidx):
-        slot = jax.lax.rem(cidx, 2)
-        cp_p = pltpu.make_async_copy(
-            pos_hbm.at[pl.ds(cidx * block, block)], pbuf.at[slot],
-            sem.at[slot, 0],
-        )
-        cp_d = pltpu.make_async_copy(
-            delta_hbm.at[pl.ds(cidx * block, block), :], dbuf.at[slot],
-            sem.at[slot, 1],
-        )
-        cp_p.start()
-        cp_d.start()
-        cp_p.wait()
-        cp_d.wait()
+    @pl.when(b + 1 < nb)
+    def _():
+        issue(b + 1)
 
-    # Inputs for this block are rows [starts[b], starts[b+1]) — at most
-    # `block` rows (pos unique), spanning <= 2 consecutive aligned chunks.
-    # The needed chunk advances <= 1 per block, so two conditional loads
-    # cover both steady state and start-up.
-    hi = starts_ref[b + 1]
-    c_hi = jnp.maximum(hi - 1, 0) // block
-    for _ in range(2):
-        @pl.when(meta[0] < c_hi)
-        def _():
-            load(meta[0] + 1)
-            meta[0] = meta[0] + 1
+    wait(b)
+    even = b % 2 == 0
+    pvals = jnp.where(even, pbuf_a[...], pbuf_b[...])  # (win,)
+    dvals = jnp.where(even, dbuf_a[...], dbuf_b[...])  # (win, C)
 
     base = b * block
-    row = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
-    acc = jnp.broadcast_to(carry[:], (block, C))
-    for slot in range(2):
-        d = pbuf[slot][None, :] - base  # (1, block) vs rows
+    row = jax.lax.broadcasted_iota(jnp.int32, (block, win), 0)
+    d = pvals[None, :] - base  # (1, win)
+    if prefix:
         w = ((d >= 0) & (d <= row)).astype(jnp.float32)
-        acc = acc + jnp.dot(w, dbuf[slot], preferred_element_type=jnp.float32)
-    out_ref[:, :] = acc
-    carry[:] = acc[block - 1 :, :]
+        acc = jnp.broadcast_to(carry[:], (block, C)) + jnp.dot(
+            w, dvals, preferred_element_type=jnp.float32
+        )
+        out_ref[:, :] = acc
+        carry[:] = acc[block - 1 :, :]
+    else:
+        w = (d == row).astype(jnp.float32)
+        out_ref[:, :] = jnp.dot(w, dvals, preferred_element_type=jnp.float32)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_call(n_pad: int, K_pad: int, C: int, block: int, interpret: bool):
+def _make_call(n_pad: int, K_pad: int, C: int, block: int, interpret: bool,
+               prefix: bool = True):
     nb = K_pad // block
+    win = 2 * block
     return pl.pallas_call(
-        functools.partial(_kernel, block=block, C=C, nb=nb),
+        functools.partial(
+            _kernel, block=block, C=C, n_pad=n_pad, nb=nb, prefix=prefix
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
@@ -102,11 +133,12 @@ def _make_call(n_pad: int, K_pad: int, C: int, block: int, interpret: bool):
                 (block, C), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((1, C), jnp.float32),       # carry
-                pltpu.VMEM((2, block), jnp.int32),      # pos ring
-                pltpu.VMEM((2, block, C), jnp.float32),  # delta ring
-                pltpu.SMEM((1,), jnp.int32),            # loaded-chunk meta
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((1, C), jnp.float32),        # carry
+                pltpu.VMEM((win,), jnp.int32),           # pos slot A
+                pltpu.VMEM((win, C), jnp.float32),       # delta slot A
+                pltpu.VMEM((win,), jnp.int32),           # pos slot B
+                pltpu.VMEM((win, C), jnp.float32),       # delta slot B
+                pltpu.SemaphoreType.DMA((4,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((K_pad, C), jnp.float32),
@@ -117,23 +149,33 @@ def _make_call(n_pad: int, K_pad: int, C: int, block: int, interpret: bool):
     )
 
 
+def _prep(pos, n, block):
+    """Pad inputs so every aligned 2*block window stays in bounds."""
+    n_pad = max(((n + block - 1) // block) * block, block) + 2 * block
+    return n_pad
+
+
 def ordered_prefix_fill(
     pos: jnp.ndarray,
     delta: jnp.ndarray,
     K: int,
     *,
-    block: int = 256,
+    block: int = 1024,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """See module docstring.  pos (n,) int32 sorted ascending unique (values
-    >= K are dropped); delta (n, C) fp32.  Returns (K, C) fp32."""
+    >= K are dropped); delta (n, C) fp32.  Returns (K, C) fp32.
+
+    ``block`` must stay a multiple of 1024 on real TPU: the 1-D position
+    array's DMA windows are tiled at 1024 int32 lanes.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, C = delta.shape
-    n_pad = max(((n + block - 1) // block) * block, block) + block
+    n_pad = _prep(pos, n, block)
     K_pad = max(((K + block - 1) // block) * block, block)
     # Padding rows carry an always-OOB position (> any block base + block)
-    # and zero deltas, so ring chunks past the real input are inert.
+    # and zero deltas, so window rows past the real input are inert.
     pos_p = jnp.full((n_pad,), K_pad + n_pad, jnp.int32).at[:n].set(pos)
     delta_p = jnp.zeros((n_pad, C), jnp.float32).at[:n, :].set(delta)
     # bisect_left of each block boundary into pos (log2 rounds of tiny takes)
@@ -145,3 +187,42 @@ def ordered_prefix_fill(
         starts, pos_p, delta_p
     )
     return out[:K]
+
+
+def ordered_place_i32(
+    pos: jnp.ndarray,
+    vals: jnp.ndarray,
+    K: int,
+    *,
+    block: int = 1024,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """``zeros(K, i32).at[pos].set(vals)`` for sorted unique int32 positions.
+
+    Place-mode sibling of ordered_prefix_fill (equality mask, no carry):
+    replaces the chunk-aligned relayout scatter of ops/binning (~2.6 ms for
+    590k rows at bench scale under this environment's serialized scatters).
+    Values ride fp32 lanes through the placement matmul — exact below 2^24
+    (gaussian ids are < the param capacity, far under that).  Positions >= K
+    drop; unset rows are 0 (binning's padding-slots-point-at-gaussian-0
+    convention).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = pos.shape[0]
+    n_pad = _prep(pos, n, block)
+    K_pad = max(((K + block - 1) // block) * block, block)
+    pos_p = jnp.full((n_pad,), K_pad + n_pad, jnp.int32).at[:n].set(
+        jnp.minimum(pos, K_pad + jnp.arange(n, dtype=jnp.int32))
+    )
+    delta_p = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(
+        vals.astype(jnp.float32)
+    )
+    from ..binning import take_searchsorted
+
+    bounds = jnp.arange(K_pad // block + 1, dtype=jnp.int32) * block
+    starts = take_searchsorted(pos_p, bounds)
+    out = _make_call(n_pad, K_pad, 1, block, interpret, False)(
+        starts, pos_p, delta_p
+    )
+    return out[:K, 0].astype(jnp.int32)
