@@ -255,7 +255,8 @@ def _delta_fills(values_list, active, positions, K: int, widths=None):
     return fills
 
 
-def _prefix_fills(values_list, active, positions, K: int, widths=None):
+def _prefix_fills(values_list, active, positions, K: int, widths=None,
+                  fill_mode: str = "scatter"):
     """_delta_fills for inputs whose active rows form a FRONT PREFIX.
 
     The exact-mode front-end sort compacts emitting gaussians to the front,
@@ -292,17 +293,32 @@ def _prefix_fills(values_list, active, positions, K: int, widths=None):
     C = vblock.shape[1]
     prev = jnp.concatenate([jnp.zeros((1, C), jnp.float32), vblock[:-1]])
     delta = vblock - prev  # rows past the prefix scatter OOB and drop
-    # Streamed placement+prefix kernel — XLA's scatter costs ~40ns/row here
-    # (the whole fill scatter ~5.2 ms at bench scale); the kernel is ~2 ms
-    # and bit-identical (integer values < 2^24 in fp32 are exact under any
-    # accumulation order).
-    from .pallas.ordered_fill import ordered_prefix_fill
+    if fill_mode == "pallas":
+        # Streamed placement+prefix kernel — XLA's scatter costs ~40ns/row
+        # here (the whole fill scatter ~5.2 ms at bench scale); the kernel
+        # is bit-identical (integer values < 2^24 in fp32 are exact under
+        # any accumulation order).  Returns field-major (C, K); consume
+        # rows.  Opt-in: see RasterizeConfig.fill_mode.
+        from .pallas.ordered_fill import ordered_prefix_fill
 
-    cs = ordered_prefix_fill(pos_compact, delta, K).astype(jnp.int32)
+        cs = ordered_prefix_fill(pos_compact, delta, K).astype(jnp.int32)
+
+        def col(j):
+            return cs[j]
+    else:
+        # XLA scatter path: indices are sorted AND unique (ascending active
+        # prefix + ascending OOB sentinels), so both fast-path hints hold.
+        seg = jnp.zeros((K, C), jnp.float32).at[pos_compact].set(
+            delta, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+        cs = cumsum_cols_f32(seg).astype(jnp.int32)
+
+        def col(j):
+            return cs[:, j]
 
     parts = {}
     for j, (i, kind) in enumerate(cols):
-        parts.setdefault(i, {})[kind] = cs[:, j]
+        parts.setdefault(i, {})[kind] = col(j)
     fills = []
     for i in range(len(values_list)):
         p = parts[i]
@@ -343,6 +359,7 @@ def bin_gaussians(
     sort_mode: str = "exact",
     aligned_slack: int = -1,
     tile_mask: jnp.ndarray | None = None,
+    fill_mode: str = "scatter",
 ) -> Binning:
     """Expand each visible gaussian into one instance per touched tile, sort by
     (tile, depth), and lay the result out chunk-aligned per tile.
@@ -445,7 +462,9 @@ def bin_gaussians(
         vals.append(tile_mask)
         widths.append(17)
     if sort_mode == "exact":
-        fills = _prefix_fills(vals, t > 0, offsets, K, widths=widths)
+        fills = _prefix_fills(
+            vals, t > 0, offsets, K, widths=widths, fill_mode=fill_mode
+        )
     else:
         fills = _delta_fills(vals, t > 0, offsets, K, widths=widths)
     safe_gid, offs, ic = fills[:3]
@@ -550,13 +569,20 @@ def bin_gaussians(
         Kp + pos,
     )
     new_pos, gid_sorted = jax.lax.optimization_barrier((new_pos, gid_sorted))
-    # Streamed placement kernel — this scatter (sorted unique indices, K
-    # rows) still measured ~2.6 ms at bench scale under this environment's
-    # serialized TPU scatters; the place-mode kernel is bit-identical
-    # (integer ids in fp32 lanes, single placement matmul per ring slot).
-    from .pallas.ordered_fill import ordered_place_i32
+    if fill_mode == "pallas":
+        # Streamed placement kernel — the equivalent scatter (sorted unique
+        # indices, K rows) measured ~2.6 ms at bench scale under this
+        # environment's serialized TPU scatters; the place-mode kernel is
+        # bit-identical (integer ids in fp32 lanes, one placement matmul
+        # per ring slot).  Opt-in until proven on the real Mosaic compiler.
+        from .pallas.ordered_fill import ordered_place_i32
 
-    gid_aligned = ordered_place_i32(new_pos, gid_sorted, Kp)
+        gid_aligned = ordered_place_i32(new_pos, gid_sorted, Kp)
+    else:
+        gid_aligned = jnp.zeros((Kp,), jnp.int32).at[new_pos].set(
+            gid_sorted, mode="drop", unique_indices=True,
+            indices_are_sorted=True,
+        )
     gid_aligned = jax.lax.optimization_barrier(gid_aligned)
 
     return Binning(

@@ -3,9 +3,9 @@
 ``ordered_prefix_fill`` computes, for sorted unique int32 positions ``pos``
 (entries >= K drop) and fp32 deltas (n, C):
 
-    out[k, c] = sum over j with pos[j] <= k of delta[j, c]        (K, C)
+    out[c, k] = sum over j with pos[j] <= k of delta[j, c]        (C, K)
 
-i.e. exactly ``cumsum_cols(zeros(K, C).at[pos].set(delta))`` — the segment
+i.e. exactly ``cumsum_cols(zeros(K, C).at[pos].set(delta)).T`` — the segment
 fill primitive of ops/binning.  ``ordered_place_i32`` is the no-prefix
 sibling: ``zeros(K).at[pos].set(vals)`` (the chunk-aligned relayout).
 XLA's TPU scatter costs ~40 ns per scattered ROW in this environment
@@ -18,12 +18,21 @@ scatter(+cumsum) with a streamed placement:
 - because positions are sorted and unique, every input row that can land in
   output block b lies in rows [starts[b], starts[b] + block] — one aligned
   2*block DMA window per block covers it (double-buffered across blocks via
-  two explicit scratch pairs; Mosaic permits neither sub-tile slices of a
-  1-D ring nor sublane-dim slicing of a (2, block) int32 ring, so the slots
-  are separate buffers selected by block parity);
+  two explicit scratch pairs selected by block parity under pl.when; Mosaic
+  permits neither sub-tile slices of a 1-D ring nor sublane-dim slicing of a
+  (2, block) int32 ring, so the slots are separate buffers);
 - placement (+ prefix) is ONE masked matmul per block:
-  W[r, j] = (0 <= pos_j - base <= r)  (prefix)  /  (pos_j - base == r)
-  (place), out_block = [carry +] W @ delta_window.
+  Wt[j, r] = (0 <= pos_j - base <= r)  (prefix)  /  (pos_j - base == r)
+  (place), out_block(C, block) = [carry +] delta_window(C, win) @ Wt.
+
+Real-TPU Mosaic constraints baked in (each cost one on-chip failure):
+- dynamic DMA starts must carry a divisibility PROOF — ``pl.multiple_of``
+  on the aligned-down window start (the bare ``//block*block`` form fails
+  "Failed to prove that a tile index ... is divisible by the tiling");
+- DMA slice lane dims must be 128-aligned, so the delta stream rides a
+  TRANSPOSED (Cp, n_pad) field-major layout (a (win, C) slice with C < 128
+  lanes is rejected) with the channel dim padded to the fp32 sublane tile
+  (Cp = 8); callers consume output ROWS of the (Cp, K) result.
 
 Exactness: the fills carry integers < 2^24 in fp32 lanes; every partial sum
 is integral and below 2^24, so ANY accumulation order (MXU matmul included —
@@ -39,16 +48,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_CP = 8  # channel rows padded to the fp32 sublane tile
+
 
 def _kernel(starts_ref, pos_hbm, delta_hbm, out_ref, carry,
             pbuf_a, dbuf_a, pbuf_b, dbuf_b, sem,
-            *, block: int, C: int, n_pad: int, nb: int, prefix: bool):
+            *, block: int, n_pad: int, nb: int, prefix: bool):
     b = pl.program_id(0)
     win = 2 * block
 
     def window_start(idx):
         aligned = (starts_ref[idx] // block) * block
-        return jnp.minimum(aligned, n_pad - win)
+        # Both operands are multiples of `block` (n_pad is block-aligned and
+        # win = 2*block), but Mosaic cannot prove divisibility of a dynamic
+        # index through // and min — pl.multiple_of carries the proof.
+        return pl.multiple_of(jnp.minimum(aligned, n_pad - win), block)
 
     def copies(idx, pb, db, s0, s1):
         start = window_start(idx)
@@ -57,7 +71,7 @@ def _kernel(starts_ref, pos_hbm, delta_hbm, out_ref, carry,
                 pos_hbm.at[pl.ds(start, win)], pb, sem.at[s0]
             ),
             pltpu.make_async_copy(
-                delta_hbm.at[pl.ds(start, win), :], db, sem.at[s1]
+                delta_hbm.at[:, pl.ds(start, win)], db, sem.at[s1]
             ),
         )
 
@@ -86,7 +100,7 @@ def _kernel(starts_ref, pos_hbm, delta_hbm, out_ref, carry,
     @pl.when(b == 0)
     def _():
         if prefix:
-            carry[:] = jnp.zeros((1, C), jnp.float32)
+            carry[:] = jnp.zeros((_CP, 1), jnp.float32)
         issue(0)
 
     @pl.when(b + 1 < nb)
@@ -94,54 +108,74 @@ def _kernel(starts_ref, pos_hbm, delta_hbm, out_ref, carry,
         issue(b + 1)
 
     wait(b)
-    even = b % 2 == 0
-    pvals = jnp.where(even, pbuf_a[...], pbuf_b[...])  # (win,)
-    dvals = jnp.where(even, dbuf_a[...], dbuf_b[...])  # (win, C)
 
-    base = b * block
-    row = jax.lax.broadcasted_iota(jnp.int32, (block, win), 0)
-    d = pvals[None, :] - base  # (1, win)
-    if prefix:
-        w = ((d >= 0) & (d <= row)).astype(jnp.float32)
-        acc = jnp.broadcast_to(carry[:], (block, C)) + jnp.dot(
-            w, dvals, preferred_element_type=jnp.float32
-        )
-        out_ref[:, :] = acc
-        carry[:] = acc[block - 1 :, :]
-    else:
-        w = (d == row).astype(jnp.float32)
-        out_ref[:, :] = jnp.dot(w, dvals, preferred_element_type=jnp.float32)
+    def compute(pvals, dvals):
+        # pvals (win,) i32; dvals (Cp, win) f32
+        base = b * block
+        row = jax.lax.broadcasted_iota(jnp.int32, (win, block), 1)
+        d = pvals[:, None] - base  # (win, 1)
+        # Precision MUST be pinned: on the real chip this Mosaic dot lowers
+        # to ONE bf16 MXU pass by default (measured on-chip: fp32 payloads
+        # drift at ~4e-3 relative and integer ids > 2^8 corrupt — the same
+        # trap as the XLA-level round-1 bf16 failure, despite round-1's
+        # "Mosaic fp32 dots are exact" note, which no longer holds here).
+        # HIGHEST keeps integer payloads < 2^24 bit-exact.
+        if prefix:
+            wt = ((d >= 0) & (d <= row)).astype(jnp.float32)
+            acc = jnp.broadcast_to(carry[:], (_CP, block)) + jnp.dot(
+                dvals, wt, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            out_ref[:, :] = acc
+            carry[:] = acc[:, block - 1 :]
+        else:
+            wt = (d == row).astype(jnp.float32)
+            out_ref[:, :] = jnp.dot(
+                dvals, wt, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+    # The buffer pair is selected by block parity under pl.when — reading
+    # BOTH pairs and where-merging would touch the slot whose next-block DMA
+    # is already in flight (a formal read-under-DMA race, 2x VMEM traffic).
+    @pl.when(b % 2 == 0)
+    def _():
+        compute(pbuf_a[...], dbuf_a[...])
+
+    @pl.when(b % 2 == 1)
+    def _():
+        compute(pbuf_b[...], dbuf_b[...])
 
 
 @functools.lru_cache(maxsize=None)
-def _make_call(n_pad: int, K_pad: int, C: int, block: int, interpret: bool,
+def _make_call(n_pad: int, K_pad: int, block: int, interpret: bool,
                prefix: bool = True):
     nb = K_pad // block
     win = 2 * block
     return pl.pallas_call(
         functools.partial(
-            _kernel, block=block, C=C, n_pad=n_pad, nb=nb, prefix=prefix
+            _kernel, block=block, n_pad=n_pad, nb=nb, prefix=prefix
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # pos (n_pad,)
-                pl.BlockSpec(memory_space=pltpu.ANY),  # delta (n_pad, C)
+                pl.BlockSpec(memory_space=pl.ANY),  # pos (n_pad,)
+                pl.BlockSpec(memory_space=pl.ANY),  # delta (Cp, n_pad)
             ],
             out_specs=pl.BlockSpec(
-                (block, C), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+                (_CP, block), lambda b, *_: (0, b), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((1, C), jnp.float32),        # carry
-                pltpu.VMEM((win,), jnp.int32),           # pos slot A
-                pltpu.VMEM((win, C), jnp.float32),       # delta slot A
-                pltpu.VMEM((win,), jnp.int32),           # pos slot B
-                pltpu.VMEM((win, C), jnp.float32),       # delta slot B
+                pltpu.VMEM((_CP, 1), jnp.float32),       # carry
+                pltpu.VMEM((win,), jnp.int32),            # pos slot A
+                pltpu.VMEM((_CP, win), jnp.float32),      # delta slot A
+                pltpu.VMEM((win,), jnp.int32),            # pos slot B
+                pltpu.VMEM((_CP, win), jnp.float32),      # delta slot B
                 pltpu.SemaphoreType.DMA((4,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((K_pad, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((_CP, K_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -164,29 +198,35 @@ def ordered_prefix_fill(
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """See module docstring.  pos (n,) int32 sorted ascending unique (values
-    >= K are dropped); delta (n, C) fp32.  Returns (K, C) fp32.
+    >= K are dropped); delta (n, C) fp32.  Returns field-major (C, K) fp32
+    (row c is the prefix-filled column c — callers consume rows, avoiding a
+    (K, C) relayout).  C <= 8.
 
     ``block`` must stay a multiple of 1024 on real TPU: the 1-D position
     array's DMA windows are tiled at 1024 int32 lanes.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    assert block % 1024 == 0, "block must be a multiple of 1024 (1-D i32 DMA tiling)"
     n, C = delta.shape
+    assert C <= _CP, f"ordered_prefix_fill supports <= {_CP} columns"
     n_pad = _prep(pos, n, block)
     K_pad = max(((K + block - 1) // block) * block, block)
     # Padding rows carry an always-OOB position (> any block base + block)
     # and zero deltas, so window rows past the real input are inert.
     pos_p = jnp.full((n_pad,), K_pad + n_pad, jnp.int32).at[:n].set(pos)
-    delta_p = jnp.zeros((n_pad, C), jnp.float32).at[:n, :].set(delta)
+    # Field-major, channel-padded to the fp32 sublane tile (DMA slices ride
+    # the 128-lane dim; a (win, C) slice with C < 128 lanes is rejected).
+    delta_p = jnp.zeros((_CP, n_pad), jnp.float32).at[:C, :n].set(delta.T)
     # bisect_left of each block boundary into pos (log2 rounds of tiny takes)
     from ..binning import take_searchsorted
 
     bounds = jnp.arange(K_pad // block + 1, dtype=jnp.int32) * block
     starts = take_searchsorted(pos_p, bounds)
-    out = _make_call(n_pad, K_pad, C, block, interpret)(
+    out = _make_call(n_pad, K_pad, block, interpret)(
         starts, pos_p, delta_p
     )
-    return out[:K]
+    return out[:C, :K]
 
 
 def ordered_place_i32(
@@ -209,20 +249,21 @@ def ordered_place_i32(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    assert block % 1024 == 0, "block must be a multiple of 1024 (1-D i32 DMA tiling)"
     n = pos.shape[0]
     n_pad = _prep(pos, n, block)
     K_pad = max(((K + block - 1) // block) * block, block)
     pos_p = jnp.full((n_pad,), K_pad + n_pad, jnp.int32).at[:n].set(
         jnp.minimum(pos, K_pad + jnp.arange(n, dtype=jnp.int32))
     )
-    delta_p = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(
+    delta_p = jnp.zeros((_CP, n_pad), jnp.float32).at[0, :n].set(
         vals.astype(jnp.float32)
     )
     from ..binning import take_searchsorted
 
     bounds = jnp.arange(K_pad // block + 1, dtype=jnp.int32) * block
     starts = take_searchsorted(pos_p, bounds)
-    out = _make_call(n_pad, K_pad, 1, block, interpret, False)(
+    out = _make_call(n_pad, K_pad, block, interpret, False)(
         starts, pos_p, delta_p
     )
-    return out[:K, 0].astype(jnp.int32)
+    return out[0, :K].astype(jnp.int32)

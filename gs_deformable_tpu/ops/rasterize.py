@@ -105,6 +105,7 @@ def rasterize_arrays(
         sort_mode=cfg.sort_mode,
         aligned_slack=cfg.aligned_slack,
         tile_mask=tile_mask,
+        fill_mode=cfg.fill_mode,
     )
 
     P = means2d_pix.shape[0]
@@ -119,9 +120,8 @@ def rasterize_arrays(
         axis=1,
     )
     # Field-major sorted layout; the VJP is the per-gaussian segment-sum of
-    # the backward's per-instance gradient rows — sort-based by default
-    # (ops/segsum.py; XLA's native gather-transpose scatter-ADD serializes
-    # at ~210M updates/s in this environment).
+    # the backward's per-instance gradient rows (cfg.grad_reduce selects
+    # XLA's scatter-ADD or the sort-based reduction in ops/segsum.py).
     sorted_splats_t = gather_splats_t(splats, binning.gid, cfg.grad_reduce)
 
     Kp = aligned_capacity(

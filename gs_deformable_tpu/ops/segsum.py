@@ -20,9 +20,12 @@ Numerics: each gaussian's gradient is a difference of two inclusive-prefix
 values of an fp32 running sum (HIGHEST-precision MXU cumsum).  Like the
 scatter-add (whose accumulation order XLA leaves unspecified), this
 reassociates the per-gaussian sum; the long-range cancellation adds
-O(eps * |global running sum|) absolute error, which stays far inside the
-gradient parity tolerances (validated against the dense oracle and the
-independent NumPy oracle in tests/test_second_oracle.py).
+O(eps * |global running sum|) absolute error.  That error grows with the
+global stream, and at round-2 HEAD it exceeded the committed rtol-1e-4
+gradient parity bar on one element of the exact-culling comparison
+(tests/test_rasterize.py) — which is why grad_reduce defaults to "scatter"
+and this path is opt-in A/B material until the reduction is made
+segment-local.
 """
 
 from __future__ import annotations
@@ -56,8 +59,11 @@ def segment_sum_rows(rows: jnp.ndarray, gid: jnp.ndarray, P: int) -> jnp.ndarray
 def gather_splats_t(splats: jnp.ndarray, gid: jnp.ndarray, grad_reduce: str):
     """(P, 16) splats -> field-major (16, Kp) sorted layout; VJP per config.
 
-    ``grad_reduce``: "sort" (default; see module docstring) or "scatter"
-    (XLA's native gather transpose — the round-1 path, kept for A/B).
+    ``grad_reduce``: "scatter" (default; XLA's native gather transpose —
+    meets the committed gradient tolerances exactly) or "sort" (see module
+    docstring; faster under this environment's serialized scatters but its
+    global-prefix boundary diffs reassociate each per-gaussian sum with
+    O(eps * |running sum|) error — kept for A/B until that is fixed).
     Barriers keep the gather/transpose standalone: XLA fusing them into
     surrounding producers measured far slower (round-1 notes).
     """

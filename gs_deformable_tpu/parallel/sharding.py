@@ -300,7 +300,7 @@ def make_sharded_train_step(
             jax.lax.stop_gradient(depth_full),
             grid_x=grid_x, grid_y=band_rows,
             capacity=r.instance_capacity, chunk=r.chunk,
-            sort_mode=r.sort_mode,
+            sort_mode=r.sort_mode, fill_mode=r.fill_mode,
         )
         splats = jnp.concatenate(
             [

@@ -166,6 +166,24 @@ def test_binning_radix_mode_bitwise_matches_exact(rng, zero_run, ties):
         np.asarray(outs[0].gid)[mask], np.asarray(outs[1].gid)[mask])
 
 
+def test_binning_fill_mode_pallas_bitwise_matches_scatter(rng):
+    # fill_mode="pallas" routes the segment fills and the chunk-aligned
+    # relayout through the ordered_fill kernels (interpret mode on CPU);
+    # it must be bit-identical to the default XLA scatter path.
+    grid_x, grid_y, chunk, cap = 7, 5, 8, 1024
+    tt, rect, depths = make_inputs(rng, 300, grid_x, grid_y, True, True)
+    outs = [
+        bin_gaussians(
+            jnp.asarray(tt), jnp.asarray(rect), jnp.asarray(depths),
+            grid_x=grid_x, grid_y=grid_y, capacity=cap, chunk=chunk,
+            fill_mode=mode,
+        )
+        for mode in ("scatter", "pallas")
+    ]
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_radix_sort_u32_stable(rng):
     from gs_deformable_tpu.ops.scan_utils import radix_sort_u32
 

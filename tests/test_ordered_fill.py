@@ -42,7 +42,7 @@ def test_prefix_fill_bitwise(seed, n, K, frac):
     ok = pos < K
     seg[pos[ok]] = delta[ok]
     ref = np.cumsum(seg, axis=0, dtype=np.float64).astype(np.float32)
-    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(out, ref.T)  # field-major (C, K) result
 
 
 @pytest.mark.parametrize(
