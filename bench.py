@@ -26,7 +26,8 @@ import numpy as np
 
 
 def run_at_scale(n, cap, instance_capacity, aligned_slack=-1,
-                 train_instance_capacity=None, train_aligned_slack=-1):
+                 train_instance_capacity=None, train_aligned_slack=-1,
+                 raster_overrides=None):
     import jax
     import jax.numpy as jnp
 
@@ -36,11 +37,23 @@ def run_at_scale(n, cap, instance_capacity, aligned_slack=-1,
     from gs_deformable_tpu.renderer import CameraArrays, render
     from gs_deformable_tpu import training
 
+    import os
+
     rng = np.random.default_rng(0)
+    ov = dict(raster_overrides or {})
     cfg = Config(
         raster=RasterizeConfig(instance_capacity=instance_capacity, chunk=128,
-                               aligned_slack=aligned_slack),
+                               aligned_slack=aligned_slack, **ov),
     )
+    # Fail-soft test hook: BENCH_FAIL_MODES=mixed,stream simulates a Mosaic
+    # compile failure for those composite schedules so the degradation
+    # ladder can be exercised without a real kernel regression.
+    fail_modes = set(filter(None, os.environ.get(
+        "BENCH_FAIL_MODES", "").split(",")))
+    if cfg.raster.composite_mode in fail_modes:
+        raise RuntimeError(
+            f"simulated MosaicError for composite_mode="
+            f"{cfg.raster.composite_mode}")
 
     pts = np.stack(
         [rng.uniform(-2, 2, n), rng.uniform(-1.2, 1.2, n), rng.uniform(2.5, 12, n)],
@@ -141,7 +154,7 @@ def run_at_scale(n, cap, instance_capacity, aligned_slack=-1,
         if train_instance_capacity is not None:
             cfg_t = Config(raster=RasterizeConfig(
                 instance_capacity=train_instance_capacity, chunk=128,
-                aligned_slack=train_aligned_slack), opt=opt0)
+                aligned_slack=train_aligned_slack, **ov), opt=opt0)
         step = training.make_train_step(
             cfg_t, width=Wt, height=Ht, tan_fovx=tx, tan_fovy=ty,
             active_sh_degree=3, spatial_lr_scale=1.0,
@@ -205,21 +218,38 @@ def main():
     if jax.default_backend() == "axon":
         scales = scales[2:]
 
+    # Fail-soft ladder (VERDICT r2 #7): a Pallas kernel failing Mosaic
+    # compile must degrade the config — alternate composite schedule — and
+    # report a NUMBER plus a `degraded` field, not 0.0.  Every ladder rung
+    # keeps fill_mode/grad_reduce at their always-working scatter defaults.
+    degradations = [
+        {},
+        {"composite_mode": "batch"},
+        {"composite_mode": "stream"},
+    ]
     last_err = None
     for n, cap, icap, slack, t_icap, t_slack in scales:
-        try:
-            result = run_at_scale(n, cap, icap, slack,
-                                  train_instance_capacity=t_icap,
-                                  train_aligned_slack=t_slack)
-            print(json.dumps(result))
-            return
-        except Exception as e:
-            last_err = e
-            print(
-                f"[bench] scale n={n} failed ({type(e).__name__}: "
-                f"{str(e)[:160]}); trying smaller",
-                file=sys.stderr,
-            )
+        for ov in degradations:
+            try:
+                result = run_at_scale(n, cap, icap, slack,
+                                      train_instance_capacity=t_icap,
+                                      train_aligned_slack=t_slack,
+                                      raster_overrides=ov)
+                if ov:
+                    result["degraded"] = [f"{k}={v}" for k, v in ov.items()]
+                print(json.dumps(result))
+                return
+            except Exception as e:
+                last_err = e
+                print(
+                    f"[bench] scale n={n} overrides={ov} failed "
+                    f"({type(e).__name__}: {str(e)[:160]}); degrading",
+                    file=sys.stderr,
+                )
+                # Capacity overflow is a SCALE problem: don't waste 3 more
+                # serial remote compiles on schedule swaps that can't fix it.
+                if "overflow" in str(e):
+                    break
     print(
         json.dumps(
             {

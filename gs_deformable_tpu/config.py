@@ -114,9 +114,9 @@ class RasterizeConfig:
     # per-chunk serial instruction latency; batch interleaves 4 independent
     # tiles and wins the forward, stream's ring-prefetched backward wins the
     # backward. "mixed" pairs the batch forward with the stream backward.
-    # "section" advances F independent tile-boundary-aligned sections of the
-    # chunk stream per grid step (ops/pallas/section_composite.py) — F-way
-    # ILP across the per-chunk serial dependency plus contiguous DMA.
+    # (A fourth "section" schedule — F independent tile-aligned stream
+    # sections per grid step — measured 5x slower than mixed at 1080p and
+    # was deleted in round 3; see README's measured-and-rejected log.)
     # "packed" aligns tiles to `sub_chunk` rows instead of a full DMA chunk
     # (ops/pallas/packed_composite.py): the aligned layout shrinks ~45% at
     # 1080p (padding is the dominant layout cost at ~66 instances/tile), and
@@ -124,10 +124,8 @@ class RasterizeConfig:
     composite_mode: str = "mixed"
     # Tile alignment granularity of the packed schedule (divides chunk).
     sub_chunk: int = 32
-    # Chunk slots per grid step of the stream/section kernels.
+    # Chunk slots per grid step of the stream kernels.
     stream_chunks: int = 8
-    # Independent stream sections of the section kernel.
-    sections: int = 8
     # Budget (rows) for the chunk-aligned layout's total per-tile padding;
     # -1 = exact worst case (num_tiles*chunk).  A tighter budget shrinks all
     # Kp-proportional costs; overflow is surfaced via required_aligned (the

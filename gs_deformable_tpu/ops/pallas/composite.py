@@ -99,7 +99,14 @@ def _shift_down(x, s: int, fill: float):
 
 
 def _dot32(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # Precision MUST be pinned: in this environment the Mosaic dot lowers to
+    # ONE bf16 MXU pass by default on the real chip (discovered round 3 via
+    # tools/smoke_tpu.py / parity_onchip — round-1's "Mosaic fp32 dots are
+    # exact" no longer holds), which drifted the compositing transmittance
+    # scan ~2.5e-3 CPU-vs-TPU.  The kernels are VPU-bound (MXU mostly idle),
+    # so the fp32 6-pass costs nothing measurable.
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _sum_rows(x):
@@ -163,7 +170,7 @@ def _composite_step(a_hat, skip, t_in, probe_in, eps, tril):
         probe_out = probe[a_hat.shape[0] - 1 :, :]
         return contrib, t_g, t_out, probe_out
     log_om = jnp.log1p(-a_hat)  # exact 0 for skipped rows (a_hat == 0)
-    csum = jnp.dot(tril, log_om, preferred_element_type=jnp.float32)  # inclusive
+    csum = _dot32(tril, log_om)  # inclusive
     probe = probe_in * jnp.exp(csum)  # inclusive prefix product
     t_g = probe / om  # exclusive (om >= 1 - alpha_max = 0.01)
     contrib = jnp.logical_not(skip) & (probe >= eps)
@@ -197,7 +204,7 @@ def _instance_grads(
     gcol = gc0 * col0 + gc1 * col1 + gc2 * col2
     wat = a_hat * t_g
     wcomb = jnp.where(contrib, wat * gcol, 0.0)
-    pcc = pc_in + jnp.dot(tril, wcomb, preferred_element_type=jnp.float32)
+    pcc = pc_in + _dot32(tril, wcomb)
     om = 1.0 - a_hat
     inv_om = 1.0 / om
     # dL/dalpha_g (backward.cu:515-534): front-to-back form with

@@ -96,7 +96,7 @@ def _packed_chunk(
     # tile's earlier rows (same-owner mask ANDed into the triangular mask).
     same = (owner_row == jnp.transpose(owner_row)).astype(jnp.float32)
     log_om = jnp.log1p(-a_hat)
-    csum = jnp.dot(tril * same, log_om, preferred_element_type=jnp.float32)
+    csum = _dot32(tril * same, log_om)
     base = jnp.where(contin_row, probe_carry, 1.0)  # (chunk,1)x(1,npix)
     probe = base * jnp.exp(csum)  # inclusive prefix product per segment
     om = 1.0 - a_hat
@@ -392,9 +392,7 @@ def _packed_backward_kernel(
             wcomb = jnp.concatenate(gparts, axis=0)  # (chunk, npix)
             same = (owner_row == jnp.transpose(owner_row)).astype(jnp.float32)
             pc_base = jnp.where(contin_row, state[2:3, :], 0.0)
-            pcc = pc_base + jnp.dot(
-                tril * same, wcomb, preferred_element_type=jnp.float32
-            )
+            pcc = pc_base + _dot32(tril * same, wcomb)
 
             om = 1.0 - a_hat
             inv_om = 1.0 / om

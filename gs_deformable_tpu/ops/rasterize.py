@@ -150,12 +150,6 @@ def rasterize_arrays(
         from .pallas.stream_composite import make_stream_composite
 
         comp = make_stream_composite(stream_chunks=cfg.stream_chunks, **common)
-    elif cfg.composite_mode == "section":
-        from .pallas.section_composite import make_section_composite
-
-        comp = make_section_composite(
-            stream_chunks=cfg.stream_chunks, sections=cfg.sections, **common
-        )
     elif cfg.composite_mode == "mixed":
         from .pallas.stream_composite import make_mixed_composite
 

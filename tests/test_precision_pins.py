@@ -9,7 +9,12 @@ every jnp.dot / jnp.matmul / jnp.einsum / `@` in the modules whose matmuls
 carry integers, world coordinates, or reference-parity activations must pass
 an explicit `precision=` (see CLAUDE.md for the post-mortem).
 
-Pallas kernel modules are exempt: Mosaic's in-kernel fp32 dots are exact.
+Round-3 update: the Pallas exemption is GONE.  In this environment Mosaic's
+in-kernel jnp.dot ALSO lowers to one bf16 pass on the real chip (caught
+on-chip by tools/smoke_tpu.py integer cross-checks and parity_onchip image
+drift; round-1's "Mosaic fp32 dots are exact" probe no longer reproduces).
+Every kernel dot must pin precision too — local wrappers (_dot32) that pin
+internally satisfy the guard at their call sites.
 """
 
 import ast
@@ -27,6 +32,10 @@ GUARDED = [
     "ops/knn.py",
     "models/deform.py",
     "models/gaussians.py",
+    "ops/pallas/composite.py",
+    "ops/pallas/stream_composite.py",
+    "ops/pallas/packed_composite.py",
+    "ops/pallas/ordered_fill.py",
 ]
 
 MATMUL_FUNCS = {"dot", "matmul", "einsum", "tensordot", "vdot"}

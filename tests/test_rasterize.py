@@ -202,7 +202,6 @@ def test_stream_matches_batch_composite(rng):
         ("batch", {}),
         ("stream", {"stream_chunks": 3}),
         ("mixed", {"stream_chunks": 3}),
-        ("section", {"stream_chunks": 3, "sections": 4}),
         # sub-chunk-aligned layout: ns = chunk/sub = 4 sub-blocks per chunk,
         # exercising the segmented scan + multi-open meta ring
         ("packed", {"stream_chunks": 3, "sub_chunk": 2}),
@@ -222,11 +221,11 @@ def test_stream_matches_batch_composite(rng):
         outs[(mode, extra.get("sub_chunk", 0))] = (aux, grads)
 
     (img_b, ft_b, nc_b), g_b = outs[("batch", 0)]
-    for mode, sub in [("stream", 0), ("mixed", 0), ("section", 0),
+    for mode, sub in [("stream", 0), ("mixed", 0),
                       ("packed", 2), ("packed", 4)]:
         (img_s, ft_s, nc_s), g_s = outs[(mode, sub)]
         np.testing.assert_array_equal(np.asarray(nc_s), np.asarray(nc_b))
-        # batch/stream/mixed/section share the per-tile chunk partition and
+        # batch/stream/mixed share the per-tile chunk partition and
         # match at the ~1-ulp fusion level; the packed layout partitions each
         # tile's scan at different (sub-aligned) chunk boundaries, so its
         # log-space prefix reassociates at the fp32 roundoff level instead.
@@ -242,13 +241,14 @@ def test_stream_matches_batch_composite(rng):
                 a, b, atol=grad_tol * scale, err_msg=f"{mode}:{name}")
 
 
-def test_section_composite_edge_cases(rng):
-    """Section schedule under imbalance: a dominant tile (most instances in
-    one tile), more sections than non-empty tiles, and an empty scene."""
+def test_stream_composite_edge_cases(rng):
+    """Stream schedule under imbalance: a dominant tile (most instances in
+    one tile) and an empty scene.  (Originally written for the deleted
+    "section" schedule; the coverage — skewed tile loads through a chunk-
+    stream kernel — applies to the stream backward the mixed default uses.)"""
     import dataclasses
 
-    cfg = dataclasses.replace(CFG, composite_mode="section",
-                              stream_chunks=2, sections=6)
+    cfg = dataclasses.replace(CFG, composite_mode="stream", stream_chunks=2)
     cfg_ref = CFG  # batch
 
     # dominant tile: cluster most gaussians into one small screen region
@@ -290,7 +290,7 @@ def test_section_composite_edge_cases(rng):
     for a, b in zip(g_s, g_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
-    # empty scene through the section path
+    # empty scene through the stream path
     img, ft, nc, req, _ = rasterize_arrays(
         pre.means2d_pix, pre.depths, pre.conics, opac, colors,
         pre.rect, jnp.zeros_like(pre.tiles_touched), bg,
