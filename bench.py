@@ -111,7 +111,7 @@ def run_at_scale(n, cap, instance_capacity, aligned_slack=-1,
         raise RuntimeError(
             f"capacity overflow at this scale (required {int(req)} / "
             f"{cfg.raster.instance_capacity}, aligned {int(req_al)} / {kp})")
-    iters = 10
+    iters = 20  # longer chain amortizes dispatch RTT through the tunnel
     t0 = time.time()
     for i in range(iters):
         img, req, req_al = render_frame(ts.gaussians, ts.deform, cam, jnp.float32(i))
@@ -152,9 +152,20 @@ def run_at_scale(n, cap, instance_capacity, aligned_slack=-1,
             scaling_lr=0.0, rotation_lr=0.0)
         cfg_t = Config(raster=cfg.raster, opt=opt0)
         if train_instance_capacity is not None:
+            # composite_mode "packed" for the train workload: the sub-chunk
+            # aligned layout (-45% rows) wins the backward-heavy step
+            # (54.3 vs 57.1 ms at 800px, round-3 A/B) while losing the
+            # 1080p forward (39.0 vs 33.4) — so render keeps "mixed".
+            t_ov = {"composite_mode": "packed", **ov}
+            # The scale table's slack budgets are tuned for chunk-128
+            # alignment; packed aligns at sub_chunk=32, whose EXACT worst
+            # case (num_tiles*32) is smaller than those budgets — passing
+            # them through would sweep ~100k dead rows per kernel.
+            t_slack = (-1 if t_ov["composite_mode"] == "packed"
+                       else train_aligned_slack)
             cfg_t = Config(raster=RasterizeConfig(
                 instance_capacity=train_instance_capacity, chunk=128,
-                aligned_slack=train_aligned_slack, **ov), opt=opt0)
+                aligned_slack=t_slack, **t_ov), opt=opt0)
         step = training.make_train_step(
             cfg_t, width=Wt, height=Ht, tan_fovx=tx, tan_fovy=ty,
             active_sh_degree=3, spatial_lr_scale=1.0,
@@ -176,7 +187,7 @@ def run_at_scale(n, cap, instance_capacity, aligned_slack=-1,
                 f"{int(m['required_instances'])} / "
                 f"{cfg_t.raster.instance_capacity}, aligned "
                 f"{int(m['required_aligned'])} / {kp_t})")
-        iters_t = 10
+        iters_t = 20
         t0 = time.time()
         for i in range(iters_t):
             ts_local, m = step(

@@ -147,22 +147,30 @@ class RasterizeConfig:
     # "auto" = "exact" on a direct TPU backend, "radix" under remote-AOT
     # ("axon") where lax.sort cannot ship at full scene scale.
     sort_mode: str = "auto"
-    # Segment-fill / relayout backend inside bin_gaussians.  "scatter" = XLA
-    # scatters with sorted-unique index hints (always-working path, the
-    # round-1 pipeline).  "pallas" = the streamed ordered_fill placement
-    # kernels (ops/pallas/ordered_fill.py), bit-identical by construction —
-    # round 2 shipped them untested on the real Mosaic compiler and every
-    # TPU graph died (VERDICT r2 #1); they stay opt-in until
-    # tools/smoke_tpu.py + tools/parity_onchip.py record a PASS on-chip.
-    fill_mode: str = "scatter"
-    # Transmittance scan strategy inside the composite kernels. "log" =
-    # log-space cumsum as one triangular matmul on the MXU (log1p/exp/divide
-    # on the VPU). "linear" = Hillis-Steele shift-multiply prefix product,
-    # pure VPU, no transcendentals and no first-hit min-reduction; also drops
-    # one of the backward's two MXU prefixes. Semantically identical; float
-    # rounding differs at ~1e-7 relative (both ~1e-7 from the sequential
-    # CUDA order).
-    scan_mode: str = "log"
+    # Segment-fill / relayout backend inside bin_gaussians.  "pallas" = the
+    # streamed ordered_fill placement kernels (ops/pallas/ordered_fill.py),
+    # bit-identical to the scatters by construction (integer payloads through
+    # an exact 3-term bf16 Dekker-split matmul) and measured -2.1 ms on the
+    # 1080p render / neutral on the 800px train step (round-3 on-chip A/B,
+    # tools/ab_r03.py) — the default now that tools/smoke_tpu.py and
+    # tools/parity_onchip.py gate it on the real Mosaic compiler (round 2
+    # shipped these kernels untested on-chip and every TPU graph died).
+    # "scatter" = XLA scatters with sorted-unique hints (always-working
+    # fallback; bench.py degrades to it automatically on compile failure).
+    fill_mode: str = "pallas"
+    # Transmittance scan strategy inside the composite kernels. "linear"
+    # (default) = Hillis-Steele shift-multiply prefix product, pure VPU, no
+    # transcendentals and no first-hit min-reduction; also drops one of the
+    # backward's two MXU prefixes. "log" = log-space cumsum as one
+    # triangular matmul on the MXU (log1p/exp/divide on the VPU).
+    # Semantically identical; float rounding differs at ~1e-7 relative
+    # (both ~1e-7 from the sequential CUDA order).  Round-3 on-chip A/B:
+    # linear is -1.5 ms on the 1080p render (33.4 vs 34.9) and -1.2 ms on
+    # the 800px mixed train step — the HIGHEST-precision tril matmul the
+    # log scan needs (Mosaic's default dot is one bf16 pass) made the MXU
+    # form lose its round-1 edge.  The packed schedule implements log only
+    # (its segmented prefix rides the same tril matmul) and forces it.
+    scan_mode: str = "linear"
     # Per-gaussian gradient reduction for the sorted-splat gather's VJP.
     # "sort" = single-key gid sort + MXU cumsum + boundary diffs
     # (ops/segsum.py) — this environment's TPU scatters serialize at ~210M

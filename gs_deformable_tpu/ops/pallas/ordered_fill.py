@@ -114,26 +114,38 @@ def _kernel(starts_ref, pos_hbm, delta_hbm, out_ref, carry,
         base = b * block
         row = jax.lax.broadcasted_iota(jnp.int32, (win, block), 1)
         d = pvals[:, None] - base  # (win, 1)
-        # Precision MUST be pinned: on the real chip this Mosaic dot lowers
-        # to ONE bf16 MXU pass by default (measured on-chip: fp32 payloads
-        # drift at ~4e-3 relative and integer ids > 2^8 corrupt — the same
-        # trap as the XLA-level round-1 bf16 failure, despite round-1's
-        # "Mosaic fp32 dots are exact" note, which no longer holds here).
-        # HIGHEST keeps integer payloads < 2^24 bit-exact.
+        # Placement matmul precision: on the real chip the Mosaic dot lowers
+        # to ONE bf16 MXU pass by default, which corrupts integer payloads
+        # > 2^8 (caught on-chip in round 3 — round-1's "Mosaic fp32 dots
+        # are exact" no longer holds).  HIGHEST (6-pass) is exact but made
+        # the kernel LOSE its A/B vs the XLA scatter (37.8 vs 36.9 ms at
+        # bench scale), and Mosaic rejects Precision.HIGH — so the 3-term
+        # bf16 Dekker split is hand-rolled: an fp32 integer |v| < 2^24
+        # splits EXACTLY into three bf16 components that are each integers
+        # (8+8+8 mantissa bits; each residual is fp32-exact by Sterbenz),
+        # the mask side is 0/1 (exact single term), every product is an
+        # exact bf16 multiply, and the fp32 accumulation stays on integers
+        # < 2^24.  Three single-pass bf16 dots = half the HIGHEST cost.
+        # Verified bitwise on-chip by smoke_tpu's integer cross-check.
         if prefix:
-            wt = ((d >= 0) & (d <= row)).astype(jnp.float32)
-            acc = jnp.broadcast_to(carry[:], (_CP, block)) + jnp.dot(
-                dvals, wt, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            wt = ((d >= 0) & (d <= row)).astype(jnp.bfloat16)
+        else:
+            wt = (d == row).astype(jnp.bfloat16)
+        hi = dvals.astype(jnp.bfloat16)
+        r1 = dvals - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = sum(
+            jnp.dot(part, wt, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+            for part in (hi, mid, lo)
+        )
+        if prefix:
+            acc = jnp.broadcast_to(carry[:], (_CP, block)) + out
             out_ref[:, :] = acc
             carry[:] = acc[:, block - 1 :]
         else:
-            wt = (d == row).astype(jnp.float32)
-            out_ref[:, :] = jnp.dot(
-                dvals, wt, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            out_ref[:, :] = out
 
     # The buffer pair is selected by block parity under pl.when — reading
     # BOTH pairs and where-merging would touch the slot whose next-block DMA

@@ -143,8 +143,11 @@ def rasterize_arrays(
     if cfg.composite_mode == "packed":
         from .pallas.packed_composite import make_packed_composite
 
+        # The packed schedule implements the log scan only; its segmented
+        # prefix rides the same tril matmul the log scan uses.
         comp = make_packed_composite(
-            sub=cfg.sub_chunk, stream_chunks=cfg.stream_chunks, **common
+            sub=cfg.sub_chunk, stream_chunks=cfg.stream_chunks,
+            **{**common, "scan_mode": "log"}
         )
     elif cfg.composite_mode == "stream":
         from .pallas.stream_composite import make_stream_composite

@@ -91,6 +91,12 @@ def build_argparser() -> argparse.ArgumentParser:
     # Auto-grows on overflow like instance_capacity.
     p.add_argument("--aligned_slack", type=int, default=-1)
     p.add_argument("--chunk", type=int, default=RasterizeConfig().chunk)
+    # Composite schedule: "mixed" (render-optimal default) or "packed" —
+    # measured 54.3 vs 57.1 ms/step at the 800px bench train workload
+    # (round-3 A/B; the sub-chunk layout's -45% aligned rows win the
+    # backward-heavy step, while mixed keeps the 1080p render lead).
+    p.add_argument("--composite_mode", default=RasterizeConfig().composite_mode,
+                   choices=["mixed", "batch", "stream", "packed"])
     p.add_argument("--warmup_iters", type=int, default=DeformConfig().warmup_iters)
     # schedule / io
     p.add_argument("--test_iterations", nargs="+", type=int,
@@ -144,7 +150,8 @@ def config_from_args(args) -> Config:
         ),
         raster=RasterizeConfig(
             instance_capacity=args.instance_capacity, chunk=args.chunk,
-            aligned_slack=args.aligned_slack
+            aligned_slack=args.aligned_slack,
+            composite_mode=args.composite_mode,
         ),
         opt=OptimizationConfig(
             iterations=args.iterations,

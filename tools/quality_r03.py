@@ -1,0 +1,97 @@
+"""Quality anchor: >= 2k on-chip iterations through the densification window.
+
+VERDICT r2 #9: round 1's 400-iter PSNR 32.8 was the only end-to-end quality
+datum.  This builds a deformable synthetic D-NeRF scene (tests/synthetic_scene
+builder at a larger scale), trains the FULL reference schedule (densify from
+500 every 100, opacity reset at 3000 if reached) for --iters iterations with
+the real train CLI on the local chip, evaluates PSNR/SSIM with render_cli,
+and prints ONE JSON line.
+
+Usage: python tools/quality_r03.py [--iters 2000] [--size 200]
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--size", type=int, default=200)
+    ap.add_argument("--views", type=int, default=30)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    root = args.out or tempfile.mkdtemp(prefix="quality_r03_")
+    scene = os.path.join(root, "scene")
+    model = os.path.join(root, "model")
+
+    # Scene build runs on CPU (dense-oracle GT renders) in a clean env.
+    env_cpu = dict(os.environ)
+    env_cpu.pop("PALLAS_AXON_POOL_IPS", None)
+    env_cpu["JAX_PLATFORMS"] = "cpu"
+    build = subprocess.run(
+        [sys.executable, "-c",
+         f"import sys; sys.path.insert(0, '/root/repo');"
+         f"from tests.synthetic_scene import build_blender_scene;"
+         f"build_blender_scene({scene!r}, n_views={args.views}, n_test=4, "
+         f"size={args.size}, n_blobs=24, animate=True, seed=3)"],
+        env=env_cpu, capture_output=True, text=True, timeout=1800,
+    )
+    if build.returncode != 0:
+        print(json.dumps({"quality": "FAIL", "stage": "scene",
+                          "error": build.stderr[-400:]}))
+        return
+
+    t0 = time.time()
+    tr = subprocess.run(
+        [sys.executable, "-m", "gs_deformable_tpu.train",
+         "-s", scene, "-m", model,
+         "--iterations", str(args.iters),
+         "--random_init_points", "20000",
+         "--instance_capacity", str(1 << 20),
+         "--quiet"],
+        capture_output=True, text=True, timeout=5400, cwd="/root/repo",
+    )
+    train_s = time.time() - t0
+    if tr.returncode != 0:
+        print(json.dumps({"quality": "FAIL", "stage": "train",
+                          "train_s": round(train_s, 1),
+                          "error": (tr.stderr or tr.stdout)[-400:]}))
+        return
+
+    ev = subprocess.run(
+        [sys.executable, "-m", "gs_deformable_tpu.render_cli", "-m", model],
+        capture_output=True, text=True, timeout=3600, cwd="/root/repo",
+    )
+    metrics = {}
+    for line in (ev.stdout + ev.stderr).splitlines():
+        m = re.search(r"\[(\w+)\] PSNR: ([\d.]+) SSIM: ([\d.]+)", line)
+        if m:
+            metrics[f"psnr_{m.group(1)}"] = float(m.group(2))
+            metrics[f"ssim_{m.group(1)}"] = float(m.group(3))
+    ok = ev.returncode == 0 and "psnr_test" in metrics
+
+    import jax
+
+    print(json.dumps({
+        "quality": "PASS" if ok else "FAIL",
+        "backend": jax.default_backend(),
+        "iterations": args.iters,
+        "size": args.size,
+        "train_wall_s": round(train_s, 1),
+        **metrics,
+        **({} if ok else {"error": (ev.stderr or ev.stdout)[-300:]}),
+    }))
+
+
+if __name__ == "__main__":
+    main()
