@@ -147,16 +147,18 @@ class RasterizeConfig:
     # "auto" = "exact" on a direct TPU backend, "radix" under remote-AOT
     # ("axon") where lax.sort cannot ship at full scene scale.
     sort_mode: str = "auto"
-    # Segment-fill / relayout backend inside bin_gaussians.  "pallas" = the
-    # streamed ordered_fill placement kernels (ops/pallas/ordered_fill.py),
-    # bit-identical to the scatters by construction (integer payloads through
-    # an exact 3-term bf16 Dekker-split matmul) and measured -2.1 ms on the
-    # 1080p render / neutral on the 800px train step (round-3 on-chip A/B,
-    # tools/ab_r03.py) — the default now that tools/smoke_tpu.py and
-    # tools/parity_onchip.py gate it on the real Mosaic compiler (round 2
-    # shipped these kernels untested on-chip and every TPU graph died).
-    # "scatter" = XLA scatters with sorted-unique hints (always-working
-    # fallback; bench.py degrades to it automatically on compile failure).
+    # Segment-fill / relayout backend inside bin_gaussians.  "pallas"
+    # (default) = the streamed ordered_fill kernel for the K-sized segment
+    # prefix fills (bit-identical to the scatters by construction — integer
+    # payloads through an exact 3-term bf16 Dekker-split matmul; measured
+    # 5.8 -> 2.6 ms on-chip) with the sorted-unique XLA scatter kept for
+    # the Kp-sized relayout (where the kernel loses, 4.1 vs 2.4 ms — its
+    # VPU mask build dominates at 2x the blocks; tools/binstages_r03.py).
+    # "pallas_all" = kernel for both (A/B).  "scatter" = XLA scatters
+    # everywhere (always-working fallback; bench.py degrades to it
+    # automatically on compile failure).  Gated on the real Mosaic compiler
+    # by tools/smoke_tpu.py + tools/parity_onchip.py (round 2 shipped these
+    # kernels untested on-chip and every TPU graph died).
     fill_mode: str = "pallas"
     # Transmittance scan strategy inside the composite kernels. "linear"
     # (default) = Hillis-Steele shift-multiply prefix product, pure VPU, no

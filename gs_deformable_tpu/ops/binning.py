@@ -293,7 +293,7 @@ def _prefix_fills(values_list, active, positions, K: int, widths=None,
     C = vblock.shape[1]
     prev = jnp.concatenate([jnp.zeros((1, C), jnp.float32), vblock[:-1]])
     delta = vblock - prev  # rows past the prefix scatter OOB and drop
-    if fill_mode == "pallas":
+    if fill_mode in ("pallas", "pallas_all"):
         # Streamed placement+prefix kernel — XLA's scatter costs ~40ns/row
         # here (the whole fill scatter ~5.2 ms at bench scale); the kernel
         # is bit-identical (integer values < 2^24 in fp32 are exact under
@@ -569,12 +569,13 @@ def bin_gaussians(
         Kp + pos,
     )
     new_pos, gid_sorted = jax.lax.optimization_barrier((new_pos, gid_sorted))
-    if fill_mode == "pallas":
-        # Streamed placement kernel — the equivalent scatter (sorted unique
-        # indices, K rows) measured ~2.6 ms at bench scale under this
-        # environment's serialized TPU scatters; the place-mode kernel is
-        # bit-identical (integer ids in fp32 lanes, one placement matmul
-        # per ring slot).  Opt-in until proven on the real Mosaic compiler.
+    if fill_mode == "pallas_all":
+        # Streamed placement kernel for the relayout too.  Measured on-chip
+        # (tools/binstages_r03.py): the place kernel costs ~4.1 ms at
+        # Kp=1.18M (its VPU mask build dominates and Kp has 2x the K
+        # blocks) while the sorted-unique XLA scatter costs ~2.4 ms — so
+        # the default "pallas" mode uses the KERNEL only for the K-sized
+        # prefix fills (where it wins 5.8 -> 2.6 ms) and the SCATTER here.
         from .pallas.ordered_fill import ordered_place_i32
 
         gid_aligned = ordered_place_i32(new_pos, gid_sorted, Kp)

@@ -178,10 +178,11 @@ def test_binning_fill_mode_pallas_bitwise_matches_scatter(rng):
             grid_x=grid_x, grid_y=grid_y, capacity=cap, chunk=chunk,
             fill_mode=mode,
         )
-        for mode in ("scatter", "pallas")
+        for mode in ("scatter", "pallas", "pallas_all")
     ]
-    for a, b in zip(outs[0], outs[1]):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for other in outs[1:]:
+        for a, b in zip(outs[0], other):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_radix_sort_u32_stable(rng):

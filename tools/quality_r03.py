@@ -24,7 +24,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=2000)
+    # Default 7000 = the reference's first test milestone. Do NOT end a run
+    # at a multiple of opacity_reset_interval (3000): the reset crushes all
+    # opacities to <= 0.01 and an eval at that exact iteration measures the
+    # crushed state (this cost two misleading anchor runs: PSNR 18.2 at
+    # 3000 / 17.8 at 6000 vs 22.9 at 2000).
+    ap.add_argument("--iters", type=int, default=7000)
+    # Deformation warmup: the reference's 3000 would leave the MLP frozen
+    # for the whole anchor run on an ANIMATED scene — shorten it so the
+    # deformable path actually trains inside the window.
+    ap.add_argument("--warmup", type=int, default=800)
     ap.add_argument("--size", type=int, default=200)
     ap.add_argument("--views", type=int, default=30)
     ap.add_argument("--out", default="")
@@ -56,6 +65,8 @@ def main():
         [sys.executable, "-m", "gs_deformable_tpu.train",
          "-s", scene, "-m", model,
          "--iterations", str(args.iters),
+         "--warmup_iters", str(args.warmup),
+         "--eval",  # hold out the test split so [test] PSNR exists
          "--random_init_points", "20000",
          "--instance_capacity", str(1 << 20),
          "--quiet"],

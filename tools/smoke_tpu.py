@@ -159,6 +159,7 @@ def _items():
         ("ordered_fill", ordered_fill),
         ("binning_scatter", make_binning("scatter")),
         ("binning_pallas_fill", make_binning("pallas")),
+        ("binning_pallas_all", make_binning("pallas_all")),
     ]
 
 
@@ -194,15 +195,18 @@ def main():
     # outputs must agree bit-for-bit (this cross-check caught the on-chip
     # one-pass-bf16 Mosaic dot corrupting gaussian ids while both items
     # individually "ran fine").
-    a, b = results.get("binning_scatter"), results.get("binning_pallas_fill")
-    if a and b and a.get("ok") and b.get("ok"):
-        if a["gid_checksum"] != b["gid_checksum"]:
-            ok = False
-            results["binning_crosscheck"] = {
-                "ok": False,
-                "error": f"gid_checksum mismatch: scatter={a['gid_checksum']} "
-                         f"pallas={b['gid_checksum']}",
-            }
+    a = results.get("binning_scatter")
+    for other in ("binning_pallas_fill", "binning_pallas_all"):
+        b = results.get(other)
+        if a and b and a.get("ok") and b.get("ok"):
+            if a["gid_checksum"] != b["gid_checksum"]:
+                ok = False
+                results["binning_crosscheck"] = {
+                    "ok": False,
+                    "error": f"gid_checksum mismatch: scatter="
+                             f"{a['gid_checksum']} {other}="
+                             f"{b['gid_checksum']}",
+                }
     print(json.dumps({
         "smoke": "PASS" if ok else "FAIL",
         "backend": jax.default_backend(),
