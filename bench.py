@@ -120,6 +120,47 @@ def run_at_scale(n, cap, instance_capacity, aligned_slack=-1,
     np.asarray(img.ravel()[:1])  # tiny fetch: defeat any tunnel laziness
     pix_per_s = W * H / dt
 
+    # Device-side frame time (diagnostic extra): 10 dependent frames inside
+    # ONE jitted fori loop, null-body overhead subtracted — excludes the
+    # ~8 ms/frame of tunnel dispatch the primary chained-wall metric pays
+    # (CLAUDE.md measurement rules).  The primary metric stays the chained
+    # wall clock: it is what a host-driven loop actually achieves here.
+    device_ms = None
+    try:
+        def frame_scalar(i, gaussians, deform, c):
+            out, _ = render(
+                gaussians, deform, c._replace(time=c.time + i * 1e-9),
+                iteration=jnp.asarray(10_000), bg=jnp.zeros(3),
+                width=W, height=H, tan_fovx=tanx, tan_fovy=tany,
+                active_sh_degree=3, cfg=cfg,
+            )
+            return out.image[0, 0, 0]
+
+        reps = 10
+
+        @jax.jit
+        def dev_loop(gaussians, deform, c):
+            def body(i, carry):
+                return carry * 0.0 + frame_scalar(i, gaussians, deform, c)
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+        @jax.jit
+        def null_loop(x):
+            def body(i, c):
+                return c * 0.0 + x + i * 0.0
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+        float(null_loop(jnp.float32(1.0)))
+        t0 = time.time()
+        float(null_loop(jnp.float32(2.0)))
+        null_ms = (time.time() - t0) / reps * 1e3
+        float(dev_loop(ts.gaussians, ts.deform, cam))
+        t0 = time.time()
+        float(dev_loop(ts.gaussians, ts.deform, cam))
+        device_ms = max((time.time() - t0) / reps * 1e3 - null_ms, 0.0)
+    except Exception:  # diagnostic only — never fail the bench for it
+        pass
+
     result = {
         "metric": "render_pixels_per_s_per_chip_1080p",
         "value": round(pix_per_s, 1),
@@ -131,6 +172,8 @@ def run_at_scale(n, cap, instance_capacity, aligned_slack=-1,
         "compile_s_render": round(compile_s, 1),
         "backend": jax.default_backend(),
     }
+    if device_ms is not None:
+        result["render_ms_device_fori"] = round(device_ms, 2)
 
     # ---- train iters/s at 800x800 ------------------------------------
     # Secondary metric; reported when its (larger fwd+bwd+Adam) executable
