@@ -273,13 +273,19 @@ def main():
         scales = scales[2:]
 
     # Fail-soft ladder (VERDICT r2 #7): a Pallas kernel failing Mosaic
-    # compile must degrade the config — alternate composite schedule — and
-    # report a NUMBER plus a `degraded` field, not 0.0.  Every ladder rung
-    # keeps fill_mode/grad_reduce at their always-working scatter defaults.
+    # compile must degrade the config — alternate composite schedule and/or
+    # the pure-XLA scatter fill path — and report a NUMBER plus a `degraded`
+    # field, not 0.0.  The RasterizeConfig default fill_mode is "pallas"
+    # (ordered_fill kernels), so the ladder must also include
+    # fill_mode="scatter" rungs or an ordered_fill Mosaic regression would
+    # fail every rung identically (round-3 advisor finding).
     degradations = [
         {},
         {"composite_mode": "batch"},
         {"composite_mode": "stream"},
+        {"fill_mode": "scatter"},
+        {"fill_mode": "scatter", "composite_mode": "batch"},
+        {"fill_mode": "scatter", "composite_mode": "stream"},
     ]
     last_err = None
     for n, cap, icap, slack, t_icap, t_slack in scales:

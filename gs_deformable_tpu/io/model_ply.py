@@ -124,7 +124,10 @@ def load_ply(
     )
     assert len(rest_names) == 3 * (K - 1), (len(rest_names), K)
     dc = np.stack([d[k] for k in dc_names], -1).reshape(n, 3, 1)
-    rest = np.stack([d[k] for k in rest_names], -1).reshape(n, 3, K - 1)
+    if rest_names:
+        rest = np.stack([d[k] for k in rest_names], -1).reshape(n, 3, K - 1)
+    else:  # sh_degree 0: no f_rest_* properties exist
+        rest = np.zeros((n, 3, 0), np.float32)
     opacity = d["opacity"].reshape(n, 1).astype(np.float32)
     scale_names = sorted(
         [k for k in d if k.startswith("scale_")], key=lambda s: int(s.split("_")[-1])

@@ -35,8 +35,12 @@ Real-TPU Mosaic constraints baked in (each cost one on-chip failure):
   (Cp = 8); callers consume output ROWS of the (Cp, K) result.
 
 Exactness: the fills carry integers < 2^24 in fp32 lanes; every partial sum
-is integral and below 2^24, so ANY accumulation order (MXU matmul included —
-Mosaic fp32 dots are exact) reproduces the XLA scatter+cumsum bit-for-bit.
+is integral and below 2^24.  Mosaic's in-kernel ``jnp.dot`` lowers to ONE
+bf16 pass by default (round-3 finding; ``Precision.HIGHEST`` = 6 passes and
+loses the A/B, ``HIGH`` is rejected), so the placement matmuls use the exact
+3-term bf16 Dekker split (``_dekker_dot``): each operand splits into bf16
+components whose products are exact for integers < 2^24, and the three
+DEFAULT-precision dots reproduce the XLA scatter+cumsum bit-for-bit.
 """
 
 from __future__ import annotations

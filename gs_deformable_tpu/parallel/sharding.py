@@ -42,7 +42,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
-from ..models import deform as deform_mod
 from ..models.gaussians import (
     PARAM_GROUPS,
     adam_step,
@@ -50,14 +49,13 @@ from ..models.gaussians import (
     reset_opacity,
 )
 from ..ops import sh as sh_ops
-from ..ops.binning import aligned_capacity, bin_gaussians
-from ..ops.pallas.composite import SPLAT_WIDTH, make_tile_composite
 from ..ops.projection import ndc2pix, preprocess
-from ..ops.segsum import gather_splats_t
+from ..ops.rasterize import composite_tiles
 from ..ops.transforms import build_cov3d
-from ..renderer import CameraArrays
+from ..renderer import CameraArrays, deformed_attributes
 from ..training import TrainState, learning_rates
 from ..utils.general import psnr
+from ..utils.losses import ssim_map
 
 
 def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
@@ -173,85 +171,28 @@ def make_sharded_train_step(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    comp = make_tile_composite(
-        grid_x=grid_x,
-        grid_y=band_rows,  # each shard composites its own band
-        tile_x=r.tile_x,
-        tile_y=r.tile_y,
-        chunk=r.chunk,
-        padded_capacity=aligned_capacity(r.instance_capacity, grid_x * band_rows, r.chunk),
-        tile_batch=r.tile_batch,
-        alpha_max=r.alpha_max,
-        alpha_min=r.alpha_min,
-        eps=r.transmittance_eps,
-        interpret=interpret,
-    )
-
-    def local_forward(gparams, dparams, screen_zero, gstate, cam, gt, bg, iteration):
+    def local_forward(gparams, dparams, screen_zero, gstate, latent, cam, gt,
+                      bg, iteration):
         """Per-device forward on the LOCAL gaussian slice -> all-gather of
         screen records -> band composite.  Returns the exactly-partitioned
         local loss + aux; the gathers' VJPs (reduce-scatters) deliver local
-        parameter gradients of the TOTAL loss."""
+        parameter gradients of the TOTAL loss.
+
+        Built FROM the single-chip pieces (renderer.deformed_attributes +
+        ops.rasterize.composite_tiles) so the sharded step inherits every
+        fast-path feature — composite_mode mixed/packed, tile_cull,
+        fill/scan modes, aligned_slack, opacity-mask gate — and cannot
+        silently diverge from the single-chip semantics (VERDICT r3 #2)."""
         midx = jax.lax.axis_index("model")
         st = gstate.with_params(gparams)
-
-        xyz = st.xyz
         alive = st.alive
-        a1 = alive[:, None]
 
-        cd = cfg.deform.compute_dtype
-        compute_dtype = (
-            jnp.bfloat16 if cd == "bfloat16"
-            else ("float32_3x" if cd == "float32_3x" else None)
+        # Deformation + activations + dead-slot gating: the single-chip
+        # function on the local slice.
+        means3d, scales, rotations, opacity2, shs, dx = deformed_attributes(
+            st, dparams, cam.time, iteration, cfg, latent_heads=latent
         )
-        # Deformation on the local slice (renderer.deformed_attributes).
-        if cfg.model.deform_mode == "offset":
-            dx, d_scale, d_rot, d_shs = deform_mod.deform_offsets(
-                dparams, xyz, cam.time, iteration, cfg.deform,
-                compute_dtype=compute_dtype,
-            )
-            means3d = xyz + dx
-            scales = jnp.exp(st.scaling + d_scale)
-            rot = st.rotation + d_rot
-            rotations = rot / jnp.maximum(
-                jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12
-            )
-            shs = (
-                jnp.concatenate([st.f_dc, st.f_rest], axis=1)
-                + d_shs.reshape(p_loc, cfg.deform.sh_coeffs, 3)
-            )
-        elif cfg.model.deform_mode == "se3":
-            means3d = deform_mod.deform_se3(
-                dparams, xyz, cam.time, iteration, cfg.deform,
-                compute_dtype=compute_dtype,
-            )
-            dx = means3d - xyz
-            scales = jnp.exp(st.scaling)
-            rotations = st.rotation
-            rotations = rotations / jnp.maximum(
-                jnp.linalg.norm(rotations, axis=-1, keepdims=True), 1e-12
-            )
-            shs = jnp.concatenate([st.f_dc, st.f_rest], axis=1)
-        else:
-            means3d = xyz
-            dx = jnp.zeros_like(xyz)
-            scales = jnp.exp(st.scaling)
-            rotations = st.rotation
-            rotations = rotations / jnp.maximum(
-                jnp.linalg.norm(rotations, axis=-1, keepdims=True), 1e-12
-            )
-            shs = jnp.concatenate([st.f_dc, st.f_rest], axis=1)
-        opacity = jax.nn.sigmoid(st.opacity)
-
-        # Dead-slot gating (see renderer.py) on the local slice.
-        means3d = jnp.where(a1, means3d, 1e6)
-        scales = jnp.where(a1, scales, 1e-6)
-        rotations = jnp.where(
-            a1, rotations, jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32)
-        )
-        opacity = jnp.where(a1, opacity, 0.0)
-        shs = jnp.where(a1[:, :, None], shs, 0.0)
-        dx = jnp.where(a1, dx, 0.0)
+        opacity = opacity2
 
         cov3d = build_cov3d(scales, rotations)
         pre = preprocess(
@@ -294,25 +235,12 @@ def make_sharded_train_step(
         rect_band = jnp.stack([rect_full[:, 0], y0, rect_full[:, 2], y1], axis=-1)
         tiles_band = (rect_full[:, 2] - rect_full[:, 0]) * (y1 - y0)
 
-        binning = bin_gaussians(
-            jax.lax.stop_gradient(tiles_band),
-            jax.lax.stop_gradient(rect_band),
-            jax.lax.stop_gradient(depth_full),
-            grid_x=grid_x, grid_y=band_rows,
-            capacity=r.instance_capacity, chunk=r.chunk,
-            sort_mode=r.sort_mode, fill_mode=r.fill_mode,
+        # The shared single-chip composite pipeline on this shard's band.
+        out_tiles, required, required_aligned = composite_tiles(
+            pix, depth_full, conics, op_full, col_full,
+            rect_band, tiles_band,
+            grid_x=grid_x, grid_y=band_rows, cfg=r, interpret=interpret,
         )
-        splats = jnp.concatenate(
-            [
-                pix, conics, op_full[:, None], col_full,
-                jnp.zeros((capacity, SPLAT_WIDTH - 9), jnp.float32),
-            ],
-            axis=1,
-        )
-        sorted_splats_t = gather_splats_t(splats, binning.gid, r.grad_reduce)
-        out_tiles = comp(
-            sorted_splats_t, binning.tile_chunk_start, binning.tile_count
-        )[: grid_x * band_rows]
 
         # Re-assemble the full (pad-row-inclusive) image: tiled band gather.
         out_full = jax.lax.all_gather(out_tiles, "model", axis=0, tiled=True)
@@ -338,7 +266,7 @@ def make_sharded_train_step(
         ).astype(jnp.float32)[None, :, None]
         diff = jnp.abs(image - gt)
         l1_local = jnp.sum(diff * band_mask) / npx
-        ssim_map_local = jnp.sum(_ssim_map(image, gt) * band_mask) / npx
+        ssim_map_local = jnp.sum(ssim_map(image, gt) * band_mask) / npx
 
         sq = jnp.sum(dx * dx, axis=-1)
         nz = sq > 0
@@ -357,30 +285,14 @@ def make_sharded_train_step(
             "image": image,
             "radii_local": pre.radii,
             "visibility_local": pre.radii > 0,
-            "required": binning.required,
-            "required_aligned": binning.total_aligned,
+            "required": required,
+            "required_aligned": required_aligned,
             "l1_local": l1_local,
             "offset_norms_local": jax.lax.stop_gradient(
                 norms * alive.astype(jnp.float32)
             ),
         }
         return loss_local, aux
-
-    def _ssim_map(img, gt):
-        # ssim() returns the mean; recompute the map via the same filter chain.
-        from ..utils.losses import _filter2d, _gaussian_window
-
-        win = _gaussian_window(11, 1.5)
-        mu1 = _filter2d(img, win)
-        mu2 = _filter2d(gt, win)
-        mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-        s1 = _filter2d(img * img, win) - mu1_sq
-        s2 = _filter2d(gt * gt, win) - mu2_sq
-        s12 = _filter2d(img * gt, win) - mu12
-        c1, c2 = 0.01**2, 0.03**2
-        return ((2 * mu12 + c1) * (2 * s12 + c2)) / (
-            (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2)
-        )
 
     def device_fn(ts: TrainState, cam_b, gt_b, bg, iteration):
         cam = jax.tree_util.tree_map(lambda x: x[0], cam_b)
@@ -389,7 +301,8 @@ def make_sharded_train_step(
 
         def loss_fn(gparams, dparams, screen_zero):
             return local_forward(
-                gparams, dparams, screen_zero, gstate, cam, gt, bg, iteration
+                gparams, dparams, screen_zero, gstate, ts.latent, cam, gt,
+                bg, iteration
             )
 
         screen_zero = jnp.zeros((p_loc, 2), jnp.float32)

@@ -104,6 +104,55 @@ def render_set(model_path, name, iteration, cams: List[Camera], ts, cfg,
     return psnrs
 
 
+def combined_args(model_path: str, extra_argv: List[str]):
+    """get_combined_args semantics (arguments/__init__.py:91-111): the saved
+    cfg_args namespace is the base; any training flag EXPLICITLY given on the
+    eval command line overlays it (e.g. --resolution, --white_background at
+    eval time).  Returns a full train-args namespace."""
+    from .train import build_argparser
+
+    tp = build_argparser()
+    defaults = {
+        a.dest: a.default for a in tp._actions if a.dest != "help"
+    }
+    # Parse the remaining argv with every default suppressed so ONLY flags
+    # the user actually typed appear in the override namespace.
+    for a in tp._actions:
+        a.required = False
+        a.default = argparse.SUPPRESS
+    overrides, unknown = tp.parse_known_args(extra_argv)
+    if unknown:
+        raise SystemExit(f"unknown eval-time override flags: {unknown}")
+    merged = dict(defaults)
+    merged.update(load_cfg_args(model_path))
+    merged.update(vars(overrides))
+    return argparse.Namespace(**merged)
+
+
+def restore_nets(ts, pc_dir: str):
+    """Reload ALL five deformation nets like the reference's load_ply does
+    (gaussian_model.py:1009-1024): offset_model plus the four latent heads.
+    Missing files (older exports) leave the freshly-initialized params."""
+    n_loaded = 0
+    off_path = os.path.join(pc_dir, "offset_model.npz")
+    if os.path.exists(off_path):
+        ts = ts.replace(deform=model_ply.load_net(off_path, ts.deform))
+        n_loaded += 1
+    latent_files = {
+        "rot": "offset_model_rot",
+        "scaling": "offset_model_scaling",
+        "opacity_mask": "opacity_mask",
+        "shs": "shs_model",
+    }
+    latent = dict(ts.latent)
+    for key, fname in latent_files.items():
+        path = os.path.join(pc_dir, f"{fname}.npz")
+        if os.path.exists(path):
+            latent[key] = model_ply.load_net(path, latent[key])
+            n_loaded += 1
+    return ts.replace(latent=latent), n_loaded
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_path", "-m", required=True)
@@ -111,9 +160,10 @@ def main(argv=None):
     p.add_argument("--skip_train", action="store_true")
     p.add_argument("--skip_test", action="store_true")
     p.add_argument("--save_ply", action="store_true")
-    p.add_argument("--source_path", "-s", default=None)
     p.add_argument("--quiet", action="store_true")
-    args = p.parse_args(argv)
+    # Any training flag (e.g. -s/--source_path, --resolution,
+    # --white_background) may follow and overlays the saved cfg_args.
+    args, extra = p.parse_known_args(argv)
 
     # safe_state (general_utils.py:112-133; render.py:67-70): CLI runs get
     # timestamped output + seeded RNGs; in-process callers are untouched.
@@ -122,20 +172,13 @@ def main(argv=None):
 
         safe_state(args.quiet)
 
-    saved = load_cfg_args(args.model_path)
-    source = args.source_path or saved.get("source_path")
-    sh_degree = saved.get("sh_degree", 3)
-    white_bg = saved.get("white_background", False)
-    cfg = Config(
-        model=ModelConfig(sh_degree=sh_degree, white_background=white_bg,
-                          deform_mode=saved.get("deform_mode", "offset")),
-        deform=DeformConfig(sh_coeffs=(sh_degree + 1) ** 2,
-                            warmup_iters=saved.get("warmup_iters", 3000)),
-        raster=RasterizeConfig(
-            instance_capacity=saved.get("instance_capacity", RasterizeConfig().instance_capacity),
-            chunk=saved.get("chunk", RasterizeConfig().chunk),
-        ),
-    )
+    targs = combined_args(args.model_path, extra)
+    from .train import config_from_args
+
+    cfg = config_from_args(targs)
+    source = targs.source_path
+    sh_degree = cfg.model.sh_degree
+    white_bg = cfg.model.white_background
 
     iteration = args.iteration
     pc_root = os.path.join(args.model_path, "point_cloud")
@@ -145,20 +188,17 @@ def main(argv=None):
     pc_dir = os.path.join(pc_root, f"iteration_{iteration}")
 
     scene = Scene(
-        source_path=source, model_path="", images=saved.get("images", "images"),
-        eval=saved.get("eval", False), white_background=white_bg,
-        resolution=saved.get("resolution", -1), shuffle=False,
+        source_path=source, model_path="", images=cfg.model.images,
+        eval=cfg.model.eval, white_background=white_bg,
+        resolution=cfg.model.resolution, shuffle=False,
     )
-    n_loaded = 0
     state, active_sh = model_ply.load_ply(
         os.path.join(pc_dir, "point_cloud.ply"),
         capacity=_next_pow2_from_ply(os.path.join(pc_dir, "point_cloud.ply")),
         sh_degree=sh_degree,
     )
     ts = training.init_train_state(state, 0, cfg)
-    off_path = os.path.join(pc_dir, "offset_model.npz")
-    if os.path.exists(off_path):
-        ts = ts.replace(deform=model_ply.load_net(off_path, ts.deform))
+    ts, n_nets = restore_nets(ts, pc_dir)
 
     bg = jnp.asarray([1.0, 1.0, 1.0] if white_bg else [0.0, 0.0, 0.0])
     if not args.skip_train:

@@ -62,11 +62,14 @@ def _filter2d(img: jnp.ndarray, win: np.ndarray) -> jnp.ndarray:
     return blur_axis(blur_axis(img, 1), 2)
 
 
-def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11, sigma: float = 1.5):
-    """Mean SSIM over a (C, H, W) image pair (loss_utils.py:33-63).
+def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+             sigma: float = 1.5) -> jnp.ndarray:
+    """Per-pixel SSIM map over a (C, H, W) image pair (loss_utils.py:33-60).
 
     Matches the reference's constants C1 = 0.01^2, C2 = 0.03^2 and its
-    padding = window_size // 2 'same' convolution.
+    padding = window_size // 2 'same' convolution.  ``ssim`` is its mean;
+    the sharded loss partition (parallel/sharding.py) sums band slices of
+    this map.
     """
     win = _gaussian_window(window_size, sigma)
     C = img1.shape[0]
@@ -85,7 +88,12 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11, sigma: flo
     sigma12 = f[4 * C : 5 * C] - mu1_mu2
     c1 = 0.01**2
     c2 = 0.03**2
-    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+    return ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
     )
-    return ssim_map.mean()
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+         sigma: float = 1.5):
+    """Mean SSIM over a (C, H, W) image pair (loss_utils.py:33-63)."""
+    return ssim_map(img1, img2, window_size, sigma).mean()

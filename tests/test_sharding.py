@@ -291,3 +291,93 @@ def test_e2e_sharded_training_matches_psnr(rng):
     # the shard index), so trajectories diverge at the RNG level; the exact
     # step equivalence is pinned by test_sharded_matches_single_device.
     assert abs(psnr_single - psnr_shard) < 0.7, (psnr_single, psnr_shard)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize(
+    "overrides",
+    [
+        {"composite_mode": "packed", "sub_chunk": 4},
+        {"composite_mode": "batch"},
+        {"tile_cull": False},
+        {"fill_mode": "scatter"},
+    ],
+    ids=["packed", "batch", "no-tile-cull", "scatter-fill"],
+)
+def test_sharded_schedule_variants_match_single_device(rng, overrides):
+    """VERDICT r3 #2: the sharded step is built from the SAME composite
+    pipeline as the single-chip step (ops.rasterize.composite_tiles), so
+    every schedule/cull/fill variant must match the single-device step —
+    including the measured winners `mixed` (the make_cfg default, covered by
+    test_sharded_matches_single_device) and `packed`."""
+    import dataclasses
+
+    cfg = make_cfg()
+    cfg = dataclasses.replace(
+        cfg, raster=dataclasses.replace(cfg.raster, **overrides))
+    state, cam, tan = make_setup()
+    ts0 = training.init_train_state(state, seed=0, cfg=cfg)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
+    bg = jnp.zeros(3)
+    it = jnp.asarray(10)  # past warmup: deformation MLP active
+
+    single = training.make_train_step(
+        cfg, width=W, height=H, tan_fovx=tan, tan_fovy=tan,
+        active_sh_degree=0, spatial_lr_scale=1.0,
+    )
+    ts_s, m_s = single(ts0, cam, gt, bg, it)
+
+    mesh = sharding.make_mesh(1, 4)
+    state1, _, _ = make_setup()
+    ts1 = training.init_train_state(state1, seed=0, cfg=cfg)
+    step = sharding.make_sharded_train_step(
+        cfg, mesh, width=W, height=H, tan_fovx=tan, tan_fovy=tan,
+        active_sh_degree=0, spatial_lr_scale=1.0, capacity=64,
+    )
+    cam_b = jax.tree_util.tree_map(lambda x: x[None], cam)
+    ts_p, m_p = step(ts1, cam_b, gt[None], bg, it)
+
+    np.testing.assert_allclose(
+        float(m_p["loss"]), float(m_s["loss"]), rtol=1e-5, atol=1e-6
+    )
+    for k in ["xyz", "scaling", "opacity", "rotation", "f_dc"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ts_s.gaussians, k)),
+            np.asarray(getattr(ts_p.gaussians, k)),
+            rtol=2e-4, atol=2e-5, err_msg=k,
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_opacity_mask_matches_single_device(rng):
+    """The latent opacity-mask gate (use_opacity_mask) now flows through the
+    sharded step via the shared renderer.deformed_attributes."""
+    import dataclasses
+
+    cfg = make_cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, use_opacity_mask=True))
+    state, cam, tan = make_setup()
+    ts0 = training.init_train_state(state, seed=0, cfg=cfg)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
+    bg = jnp.zeros(3)
+    it = jnp.asarray(10)
+
+    single = training.make_train_step(
+        cfg, width=W, height=H, tan_fovx=tan, tan_fovy=tan,
+        active_sh_degree=0, spatial_lr_scale=1.0,
+    )
+    ts_s, m_s = single(ts0, cam, gt, bg, it)
+
+    mesh = sharding.make_mesh(1, 4)
+    state1, _, _ = make_setup()
+    ts1 = training.init_train_state(state1, seed=0, cfg=cfg)
+    step = sharding.make_sharded_train_step(
+        cfg, mesh, width=W, height=H, tan_fovx=tan, tan_fovy=tan,
+        active_sh_degree=0, spatial_lr_scale=1.0, capacity=64,
+    )
+    cam_b = jax.tree_util.tree_map(lambda x: x[None], cam)
+    ts_p, m_p = step(ts1, cam_b, gt[None], bg, it)
+    np.testing.assert_allclose(
+        float(m_p["loss"]), float(m_s["loss"]), rtol=1e-5, atol=1e-6
+    )
