@@ -147,19 +147,21 @@ class RasterizeConfig:
     # "auto" = "exact" on a direct TPU backend, "radix" under remote-AOT
     # ("axon") where lax.sort cannot ship at full scene scale.
     sort_mode: str = "auto"
-    # Segment-fill / relayout backend inside bin_gaussians.  "pallas"
-    # (default) = the streamed ordered_fill kernel for the K-sized segment
-    # prefix fills (bit-identical to the scatters by construction — integer
-    # payloads through an exact 3-term bf16 Dekker-split matmul; measured
-    # 5.8 -> 2.6 ms on-chip) with the sorted-unique XLA scatter kept for
-    # the Kp-sized relayout (where the kernel loses, 4.1 vs 2.4 ms — its
-    # VPU mask build dominates at 2x the blocks; tools/binstages_r03.py).
-    # "pallas_all" = kernel for both (A/B).  "scatter" = XLA scatters
-    # everywhere (always-working fallback; bench.py degrades to it
+    # Segment-fill / relayout backend inside bin_gaussians.  "pallas_all"
+    # (default since round 4) = the streamed ordered_fill kernels for BOTH
+    # the K-sized segment prefix fills AND the Kp-sized relayout place —
+    # bit-identical to the scatters by construction (integer payloads
+    # through an exact 3-term bf16 Dekker-split matmul).  The round-4
+    # two-level mask factorization (ordered_fill.py) made the kernels win
+    # everywhere (on-chip, bench scale: fills 0.4 ms kernel vs 4.6 scatter;
+    # relayout place 1.5 vs 2.2 — tools/probe_r04.py; round 3's flat mask
+    # lost the relayout 4.1 vs 2.4).  "pallas" = kernel fills + XLA scatter
+    # relayout (the round-3 default, kept for A/B).  "scatter" = XLA
+    # scatters everywhere (always-working fallback; bench.py degrades to it
     # automatically on compile failure).  Gated on the real Mosaic compiler
     # by tools/smoke_tpu.py + tools/parity_onchip.py (round 2 shipped these
     # kernels untested on-chip and every TPU graph died).
-    fill_mode: str = "pallas"
+    fill_mode: str = "pallas_all"
     # Transmittance scan strategy inside the composite kernels. "linear"
     # (default) = Hillis-Steele shift-multiply prefix product, pure VPU, no
     # transcendentals and no first-hit min-reduction; also drops one of the
@@ -174,16 +176,16 @@ class RasterizeConfig:
     # (its segmented prefix rides the same tril matmul) and forces it.
     scan_mode: str = "linear"
     # Per-gaussian gradient reduction for the sorted-splat gather's VJP.
-    # "sort" = single-key gid sort + MXU cumsum + boundary diffs
-    # (ops/segsum.py) — this environment's TPU scatters serialize at ~210M
-    # updates/s while sorts run ~1.4G elem/s, so the scatter-ADD the gather
-    # transpose lowers to dominates the train backward.  "scatter" = XLA's
-    # native lowering — the DEFAULT: the sort path's global-prefix boundary
-    # diffs reassociate each per-gaussian sum with O(eps * |running sum|)
-    # error, which breaks the committed exact-culling gradient parity test
-    # (round-2 advisor finding); "sort" stays available for A/B until it
-    # meets the committed tolerances.
-    grad_reduce: str = "scatter"
+    # "sort" (default since round 4) = single-key gid sort + block-local
+    # segmented scan + segment-aware carry chain (ops/segsum.py) — this
+    # environment's TPU scatter-ADD runs ~13 ns per gradient row (4.6 ms at
+    # the 800px train scale) while the whole sort path runs ~1.0 ms
+    # (tools/probe_r04.py).  Round 3's sort path was rejected on accuracy
+    # (global-prefix boundary diffs cancel at O(eps * |running sum|)); the
+    # round-4 segmented-scan redesign sums each gaussian's own rows only
+    # and passes the committed exact-culling gradient parity bar.
+    # "scatter" = XLA's native gather-transpose lowering (fallback / A/B).
+    grad_reduce: str = "sort"
     # Composite termination threshold (forward.cu:347).
     transmittance_eps: float = 1e-4
     # Per-splat alpha clamp (forward.cu:343-344).

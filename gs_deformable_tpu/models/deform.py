@@ -78,7 +78,11 @@ def _linear(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
         # rasterizer math stays HIGHEST).
         dtype, precision = None, jax.lax.Precision.HIGH
     if dtype is not None:
+        # bf16 operands want the ONE-pass MXU lowering; HIGHEST on bf16
+        # inputs upcasts back to the 6-pass fp32 path, silently costing ~6x
+        # (round-4 probe: the "bf16" deform trunk ran 9.7 ms, not ~2.5).
         x, w = x.astype(dtype), w.astype(dtype)
+        precision = jax.lax.Precision.DEFAULT
     return (
         jnp.dot(
             x, w, preferred_element_type=jnp.float32,
@@ -126,7 +130,20 @@ def apply_mlp(
         h = jax.nn.relu(_linear(layer, h, compute_dtype))
         if i in skips:
             h = jnp.concatenate([x_encoded, h], axis=-1)
-    return tuple(_linear(head, h, compute_dtype) for head in params["heads"])
+    # All heads as ONE matmul: each narrow head (3/3/4/48 cols) would pad its
+    # output to the 128-lane MXU tile and pay a full (N, W, 128) pass; the
+    # concatenated (W, sum_dims) weight runs one pass and slices after.  The
+    # per-head weights stay separate in the checkpoint (reference surface).
+    dims = [h_["w"].shape[1] for h_ in params["heads"]]
+    wcat = jnp.concatenate([h_["w"] for h_ in params["heads"]], axis=1)
+    bcat = jnp.concatenate([h_["b"] for h_ in params["heads"]], axis=0)
+    out = _linear({"w": wcat, "b": bcat}, h, compute_dtype)
+    offs = [0]
+    for d in dims:
+        offs.append(offs[-1] + d)
+    return tuple(
+        out[:, offs[j] : offs[j + 1]] for j in range(len(dims))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -151,19 +168,33 @@ def init_offset_net(key, cfg: DeformConfig = DeformConfig()) -> Params:
 def _map_row_blocks(fn, inputs, n: int, block: int):
     """Apply ``fn(*row_arrays) -> tuple`` over row blocks via lax.map.
 
-    XLA's TPU lowering of the fp32 MLP matmuls emits code proportional to the
-    ROW count (measured: the 8x256 trunk at 131k rows serializes to a 2.7 GiB
-    executable — over the remote-AOT compile helper's 2 GiB cap — while 65k
-    compiles fine).  Mapping fixed-size row blocks keeps compiled code size
-    independent of N with identical per-row arithmetic.  Falls back to a
-    single call when N is small or not divisible (capacities here are powers
-    of two, so the divisibility always holds at scale)."""
+    XLA's TPU lowering of the fp32 (HIGHEST/HIGH) MLP matmuls emits code
+    proportional to the ROW count (measured: the 8x256 trunk at 131k rows
+    serializes to a 2.7 GiB executable — over the remote-AOT compile
+    helper's 2 GiB cap — while 65k compiles fine).  Mapping fixed-size row
+    blocks keeps compiled code size independent of N with identical per-row
+    arithmetic.  Falls back to a single call when N is small or not
+    divisible (capacities here are powers of two, so the divisibility
+    always holds at scale)."""
     if block <= 0 or n <= block or n % block != 0:
         return fn(*inputs)
     nb = n // block
     stacked = tuple(x.reshape(nb, block, *x.shape[1:]) for x in inputs)
     outs = jax.lax.map(lambda args: fn(*args), stacked)
     return tuple(o.reshape(n, *o.shape[2:]) for o in outs)
+
+
+def _effective_block(cfg: DeformConfig, compute_dtype) -> int:
+    """Row-block only the fp32 precision tiers.
+
+    The lax.map exists solely to bound compiled code size, which blows up
+    only under the 6-pass/3-pass fp32 lowerings; the bf16-DEFAULT tier
+    compiles fine unblocked at full capacity AND the map's scan TRANSPOSE
+    costs ~14 ms at 131k rows in the training backward (round-4c probe:
+    deform fwd+bwd 19.4 ms blocked vs 5.4 unblocked, identical math)."""
+    if compute_dtype is not None and compute_dtype != "float32_3x":
+        return 0
+    return cfg.block_rows
 
 
 def deform_offsets(
@@ -197,7 +228,8 @@ def deform_offsets(
             xe, te = jax.lax.optimization_barrier((xe, te))
             return apply_mlp(params, xe, te, cfg.skips, compute_dtype)
 
-        return _map_row_blocks(blk, (xyz, t), n, cfg.block_rows)
+        return _map_row_blocks(
+            blk, (xyz, t), n, _effective_block(cfg, compute_dtype))
 
     def zeros(_):
         return (
@@ -255,7 +287,8 @@ def deform_se3(
             )
             return (moved,)
 
-        (moved,) = _map_row_blocks(blk, (xyz, t), n, cfg.block_rows)
+        (moved,) = _map_row_blocks(
+            blk, (xyz, t), n, _effective_block(cfg, compute_dtype))
         return moved
 
     return jax.lax.cond(

@@ -57,7 +57,8 @@ _CP = 8  # channel rows padded to the fp32 sublane tile
 
 def _kernel(starts_ref, pos_hbm, delta_hbm, out_ref, carry,
             pbuf_a, dbuf_a, pbuf_b, dbuf_b, sem,
-            *, block: int, n_pad: int, nb: int, prefix: bool):
+            *, block: int, n_pad: int, nb: int, prefix: bool,
+            mask_mode: str = "twolevel"):
     b = pl.program_id(0)
     win = 2 * block
 
@@ -116,8 +117,6 @@ def _kernel(starts_ref, pos_hbm, delta_hbm, out_ref, carry,
     def compute(pvals, dvals):
         # pvals (win,) i32; dvals (Cp, win) f32
         base = b * block
-        row = jax.lax.broadcasted_iota(jnp.int32, (win, block), 1)
-        d = pvals[:, None] - base  # (win, 1)
         # Placement matmul precision: on the real chip the Mosaic dot lowers
         # to ONE bf16 MXU pass by default, which corrupts integer payloads
         # > 2^8 (caught on-chip in round 3 — round-1's "Mosaic fp32 dots
@@ -131,25 +130,78 @@ def _kernel(starts_ref, pos_hbm, delta_hbm, out_ref, carry,
         # exact bf16 multiply, and the fp32 accumulation stays on integers
         # < 2^24.  Three single-pass bf16 dots = half the HIGHEST cost.
         # Verified bitwise on-chip by smoke_tpu's integer cross-check.
-        if prefix:
-            wt = ((d >= 0) & (d <= row)).astype(jnp.bfloat16)
-        else:
-            wt = (d == row).astype(jnp.bfloat16)
         hi = dvals.astype(jnp.bfloat16)
         r1 = dvals - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        out = sum(
-            jnp.dot(part, wt, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT)
-            for part in (hi, mid, lo)
-        )
+        if mask_mode == "flat":
+            row = jax.lax.broadcasted_iota(jnp.int32, (win, block), 1)
+            d = pvals[:, None] - base  # (win, 1)
+            if prefix:
+                wt = ((d >= 0) & (d <= row)).astype(jnp.bfloat16)
+            else:
+                wt = (d == row).astype(jnp.bfloat16)
+            out = sum(
+                jnp.dot(part, wt, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+                for part in (hi, mid, lo)
+            )
+            if prefix:
+                acc = jnp.broadcast_to(carry[:], (_CP, block)) + out
+                out_ref[:, :] = acc
+                carry[:] = acc[:, block - 1 :]
+            else:
+                out_ref[:, :] = out
+            return
+        # Two-level placement: the flat (win, block) compare mask is ~90% of
+        # the kernel's VPU time (round-3 cost model: the mask build dominates
+        # the bf16 dots).  Factor the lane index r = 128*q + s: the bucket
+        # membership (d >> 7 == q, an (nq, win) mask) and the sub-position
+        # (d & 127 vs s, a (win, 128) mask) together are ~7x fewer mask
+        # lanes than (win, block).  The contraction over window rows becomes
+        # ONE (nq*Cp, win) @ (win, 128) dot per Dekker component, with A's
+        # rows [nq*q + c] = delta_c * bucket_q; bucket slices of the output
+        # write lane-groups 128*q..128*q+127.  Rows with d < 0 or
+        # d >= block match no bucket (arithmetic >> keeps negatives
+        # negative), so OOB window rows stay inert exactly as before.
+        # Exactness is unchanged: bucket/sub masks are 0/1 (exact bf16
+        # factors) and every partial sum remains an integer < 2^24 in fp32;
+        # only the (associativity-free) accumulation grouping differs.
+        nq = block // 128
+        d_row = pvals[None, :] - base  # (1, win)
+        q_col = jax.lax.broadcasted_iota(jnp.int32, (nq, 1), 0)
+        bq = ((d_row >> 7) == q_col).astype(jnp.bfloat16)  # (nq, win)
+        d_sub = (pvals[:, None] - base) & 127  # (win, 1)
+        s_row = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         if prefix:
-            acc = jnp.broadcast_to(carry[:], (_CP, block)) + out
-            out_ref[:, :] = acc
-            carry[:] = acc[:, block - 1 :]
+            sub = (d_sub <= s_row).astype(jnp.bfloat16)  # (win, 128)
         else:
-            out_ref[:, :] = out
+            sub = (d_sub == s_row).astype(jnp.bfloat16)
+        outs = []
+        for part in (hi, mid, lo):
+            a = jnp.concatenate(
+                [part * bq[q : q + 1, :] for q in range(nq)], axis=0
+            )  # (nq*Cp, win)
+            outs.append(
+                jnp.dot(a, sub, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+            )
+        o = outs[0] + outs[1] + outs[2]  # (nq*Cp, 128)
+        if prefix:
+            # Bucket q's lanes need carry + sum of all earlier buckets;
+            # column 127 of each bucket block is its full bucket sum
+            # (d & 127 <= 127 always holds).
+            t = carry[:]
+            for q in range(nq):
+                blk = o[_CP * q : _CP * (q + 1), :]
+                out_ref[:, 128 * q : 128 * (q + 1)] = blk + t
+                t = t + blk[:, 127:128]
+            carry[:] = t
+        else:
+            for q in range(nq):
+                out_ref[:, 128 * q : 128 * (q + 1)] = o[
+                    _CP * q : _CP * (q + 1), :
+                ]
 
     # The buffer pair is selected by block parity under pl.when — reading
     # BOTH pairs and where-merging would touch the slot whose next-block DMA
@@ -165,12 +217,13 @@ def _kernel(starts_ref, pos_hbm, delta_hbm, out_ref, carry,
 
 @functools.lru_cache(maxsize=None)
 def _make_call(n_pad: int, K_pad: int, block: int, interpret: bool,
-               prefix: bool = True):
+               prefix: bool = True, mask_mode: str = "twolevel"):
     nb = K_pad // block
     win = 2 * block
     return pl.pallas_call(
         functools.partial(
-            _kernel, block=block, n_pad=n_pad, nb=nb, prefix=prefix
+            _kernel, block=block, n_pad=n_pad, nb=nb, prefix=prefix,
+            mask_mode=mask_mode,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -212,6 +265,7 @@ def ordered_prefix_fill(
     *,
     block: int = 1024,
     interpret: bool | None = None,
+    mask_mode: str = "twolevel",
 ) -> jnp.ndarray:
     """See module docstring.  pos (n,) int32 sorted ascending unique (values
     >= K are dropped); delta (n, C) fp32.  Returns field-major (C, K) fp32
@@ -219,7 +273,9 @@ def ordered_prefix_fill(
     (K, C) relayout).  C <= 8.
 
     ``block`` must stay a multiple of 1024 on real TPU: the 1-D position
-    array's DMA windows are tiled at 1024 int32 lanes.
+    array's DMA windows are tiled at 1024 int32 lanes.  ``mask_mode``:
+    "twolevel" (default, factored bucket/sub masks) or "flat" (the round-3
+    (win, block) compare mask, kept for A/B) — bitwise identical outputs.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -239,7 +295,7 @@ def ordered_prefix_fill(
 
     bounds = jnp.arange(K_pad // block + 1, dtype=jnp.int32) * block
     starts = take_searchsorted(pos_p, bounds)
-    out = _make_call(n_pad, K_pad, block, interpret)(
+    out = _make_call(n_pad, K_pad, block, interpret, True, mask_mode)(
         starts, pos_p, delta_p
     )
     return out[:C, :K]
@@ -252,6 +308,7 @@ def ordered_place_i32(
     *,
     block: int = 1024,
     interpret: bool | None = None,
+    mask_mode: str = "twolevel",
 ) -> jnp.ndarray:
     """``zeros(K, i32).at[pos].set(vals)`` for sorted unique int32 positions.
 
@@ -279,7 +336,7 @@ def ordered_place_i32(
 
     bounds = jnp.arange(K_pad // block + 1, dtype=jnp.int32) * block
     starts = take_searchsorted(pos_p, bounds)
-    out = _make_call(n_pad, K_pad, block, interpret, False)(
+    out = _make_call(n_pad, K_pad, block, interpret, False, mask_mode)(
         starts, pos_p, delta_p
     )
     return out[0, :K].astype(jnp.int32)

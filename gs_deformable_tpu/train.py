@@ -217,6 +217,7 @@ class Trainer:
         self.spatial_lr_scale = scene.cameras_extent
         self.active_sh_degree = 0
         self._step_cache: Dict[Tuple, object] = {}
+        self._chunk_cache: Dict[Tuple, object] = {}
         self._eval_cache: Dict[Tuple, object] = {}
         self._densify_cache: Dict[Tuple, object] = {}
         self._reset_fn = None
@@ -266,6 +267,20 @@ class Trainer:
                     spatial_lr_scale=self.spatial_lr_scale,
                 )
         return self._step_cache[key]
+
+    def chunk_fn(self, cam: Camera, chunk_max: int):
+        """Device-side multi-step dispatch (single-device path only)."""
+        key = (cam.width, cam.height, round(cam.fovx, 6), round(cam.fovy, 6),
+               self.active_sh_degree, self.ts.gaussians.capacity, chunk_max)
+        if key not in self._chunk_cache:
+            self._chunk_cache[key] = training.make_chunk_step(
+                self.cfg, width=cam.width, height=cam.height,
+                tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+                active_sh_degree=self.active_sh_degree,
+                spatial_lr_scale=self.spatial_lr_scale,
+                chunk_max=chunk_max,
+            )
+        return self._chunk_cache[key]
 
     def eval_fn(self, cam: Camera):
         key = (cam.width, cam.height, round(cam.fovx, 6), round(cam.fovy, 6),
@@ -501,25 +516,104 @@ def train(args) -> str:
             print(f"viewer disabled: {e}")
             viewer_on = False
 
-    for iteration in range(first_iter + 1, cfg.opt.iterations + 1):
+    # Host events that must run at exact iterations; a device-side chunk of
+    # steps may never straddle one.  Pre-step events (SH-degree bump,
+    # profiler window) must fall on a chunk START; post-step events (eval,
+    # save, checkpoint, densify, opacity reset) may fall on a chunk END.
+    def _post_event(e):
+        if (e in args.test_iterations or e in args.save_iterations
+                or e in args.checkpoint_iterations):
+            return True
+        if e < cfg.opt.densify_until_iter:
+            if (e > cfg.opt.densify_from_iter
+                    and e % cfg.opt.densification_interval == 0):
+                return True
+            if e % cfg.opt.opacity_reset_interval == 0 or (
+                    args.white_background and e == cfg.opt.densify_from_iter):
+                return True
+        return False
+
+    def _chunk_end(it0):
+        end = min(it0 + CHUNK_MAX - 1, cfg.opt.iterations)
+        nxt_sh = ((it0 // 1000) + 1) * 1000  # pre-step event: SH bump
+        if nxt_sh <= end:
+            end = nxt_sh - 1
+        for e in range(it0, end):
+            if _post_event(e):
+                return e
+        return end
+
+    # Chunked device-side dispatch amortizes the per-dispatch tunnel RTT
+    # (~25-45 ms here) over up to CHUNK_MAX steps; disabled for multi-chip
+    # (sharded step manages its own dispatch), debug mode (per-step finite
+    # check), and profiling (per-step trace annotations wanted).
+    CHUNK_MAX = 10
+    chunking = (trainer.mesh is None and not cfg.pipeline.debug
+                and not args.profile_dir)
+
+    iteration = first_iter
+    while iteration < cfg.opt.iterations:
+        it0 = iteration + 1
         if viewer_on:
-            _serve_viewer(trainer, bg, iteration, cfg, args.source_path)
+            _serve_viewer(trainer, bg, it0, cfg, args.source_path)
 
         if args.profile_dir:
-            if iteration == args.profile_start:
+            if it0 == args.profile_start:
                 jax.profiler.start_trace(args.profile_dir)
-            elif iteration == args.profile_start + args.profile_steps:
+            elif it0 == args.profile_start + args.profile_steps:
                 jax.profiler.stop_trace()
                 print(f"\n[profile] trace written to {args.profile_dir}")
-        if iteration % 1000 == 0:
+        if it0 % 1000 == 0:
             trainer.one_up_sh_degree()
 
         if trainer.mesh is None:
-            cam, gt = next_camera()
-            step = trainer.step_fn(cam)
-            trainer.ts, metrics = step(
-                trainer.ts, cam_arrays(cam), gt, bg, jnp.asarray(iteration)
+            end = _chunk_end(it0) if chunking else it0
+            h = end - it0 + 1
+            pairs = [next_camera() for _ in range(h)]
+            uniform = all(
+                (c.width, c.height, round(c.fovx, 6), round(c.fovy, 6))
+                == (pairs[0][0].width, pairs[0][0].height,
+                    round(pairs[0][0].fovx, 6), round(pairs[0][0].fovy, 6))
+                for c, _ in pairs
             )
+            if h >= 2 and uniform:
+                pad = CHUNK_MAX - h
+                cam_list = [cam_arrays(c) for c, _ in pairs]
+                cam_list += [cam_list[-1]] * pad
+                cam_stack = CameraArrays(
+                    world_view=jnp.stack([c.world_view for c in cam_list]),
+                    full_proj=jnp.stack([c.full_proj for c in cam_list]),
+                    camera_center=jnp.stack(
+                        [c.camera_center for c in cam_list]),
+                    time=jnp.stack([c.time for c in cam_list]),
+                )
+                gt_stack = jnp.stack(
+                    [g for _, g in pairs] + [pairs[-1][1]] * pad)
+                cam = pairs[0][0]
+                chunk = trainer.chunk_fn(cam, CHUNK_MAX)
+                trainer.ts, metrics = chunk(
+                    trainer.ts, cam_stack, gt_stack, bg,
+                    jnp.asarray(it0), jnp.asarray(h),
+                )
+                pending_req.append(
+                    (metrics["required_instances"],
+                     metrics["required_aligned"],
+                     metrics["overflow_frames"]))
+                iteration = end
+            else:
+                # Non-uniform resolutions in the window (or h == 1): run the
+                # same cameras per-step — identical camera RNG either way.
+                for k, (c, g) in enumerate(pairs):
+                    step = trainer.step_fn(c)
+                    trainer.ts, metrics = step(
+                        trainer.ts, cam_arrays(c), g, bg,
+                        jnp.asarray(it0 + k),
+                    )
+                    pending_req.append(
+                        (metrics["required_instances"],
+                         metrics["required_aligned"], None))
+                cam = pairs[-1][0]
+                iteration = end
         else:
             # One camera per data replica; gradients average over the batch
             # (n_data reference iterations sharing one parameter update).
@@ -543,9 +637,13 @@ def train(args) -> str:
                 time=jnp.asarray([c.time for c in cams], jnp.float32),
             )
             step = trainer.step_fn(cam)
+            iteration = it0
             trainer.ts, metrics = step(
                 trainer.ts, cam_b, jnp.stack(gts), bg, jnp.asarray(iteration)
             )
+            pending_req.append(
+                (metrics["required_instances"],
+                 metrics["required_aligned"], None))
 
         if cfg.pipeline.debug:
             # Reference debug-mode analog (snapshot dump on failure, see
@@ -574,10 +672,8 @@ def train(args) -> str:
                     f"[debug] non-finite loss at iteration {iteration}; "
                     f"render inputs dumped to {snap}")
 
-        pending_req.append(
-            (metrics["required_instances"], metrics["required_aligned"]))
-
-        if iteration % 10 == 0:
+        if iteration % 10 == 0 or len(pending_req) >= 10 or _post_event(
+                iteration) or iteration == cfg.opt.iterations:
             loss = float(metrics["loss"])
             ema_loss = 0.4 * loss + 0.6 * ema_loss
             from gs_deformable_tpu.ops.binning import aligned_capacity as _acap
@@ -588,13 +684,18 @@ def train(args) -> str:
                            cfg.raster.chunk, cfg.raster.aligned_slack)
             # Drain the per-step counters: grow to the MAX demand seen since
             # the last poll (not just this step's), and count every frame
-            # that truncated in between.
-            drained = [(int(r), int(ra)) for r, ra in pending_req]
+            # that truncated in between.  Chunked dispatches carry their own
+            # device-accumulated overflow-frame count (third field); per-step
+            # entries (None) are classified against the current capacities.
+            drained = [(int(r), int(ra), (int(o) if o is not None else None))
+                       for r, ra, o in pending_req]
             pending_req.clear()
-            req = max(r for r, _ in drained)
-            req_al = max(ra for _, ra in drained)
-            n_of = sum(1 for r, ra in drained
-                       if r > cfg.raster.instance_capacity or ra > kp_now)
+            req = max(r for r, _, _ in drained)
+            req_al = max(ra for _, ra, _ in drained)
+            n_of = sum(
+                (o if o is not None else
+                 (1 if r > cfg.raster.instance_capacity or ra > kp_now else 0))
+                for r, ra, o in drained)
             if n_of:
                 overflow_frames += n_of
                 print(f"\n[iter {iteration}] {n_of} frame(s) since last poll "
@@ -626,6 +727,7 @@ def train(args) -> str:
                 )
                 trainer.cfg = cfg
                 trainer._step_cache.clear()
+                trainer._chunk_cache.clear()
                 trainer._eval_cache.clear()
             if not args.quiet and iteration % 200 == 0:
                 el = time.time() - t_start

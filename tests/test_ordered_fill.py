@@ -26,17 +26,19 @@ def _case(seed, n, K, frac_valid):
     return np.concatenate([pos, tail]), nval
 
 
+@pytest.mark.parametrize("mask_mode", ["twolevel", "flat"])
 @pytest.mark.parametrize(
     "seed,n,K,frac",
     [(0, 500, 4096, 0.5), (1, 2000, 2000, 1.0), (2, 64, 8192, 0.0),
      (3, 3000, 1000, 0.3), (4, 1, 1, 1.0)],
 )
-def test_prefix_fill_bitwise(seed, n, K, frac):
+def test_prefix_fill_bitwise(seed, n, K, frac, mask_mode):
     pos, nval = _case(seed, n, K, frac)
     rng = np.random.default_rng(seed + 100)
     delta = rng.integers(-1000, 1000, (n, 3)).astype(np.float32)
     out = np.asarray(
-        ordered_prefix_fill(jnp.asarray(pos), jnp.asarray(delta), K)
+        ordered_prefix_fill(jnp.asarray(pos), jnp.asarray(delta), K,
+                            mask_mode=mask_mode)
     )
     seg = np.zeros((K, 3), np.float32)
     ok = pos < K
@@ -45,16 +47,18 @@ def test_prefix_fill_bitwise(seed, n, K, frac):
     np.testing.assert_array_equal(out, ref.T)  # field-major (C, K) result
 
 
+@pytest.mark.parametrize("mask_mode", ["twolevel", "flat"])
 @pytest.mark.parametrize(
     "seed,n,K,frac",
     [(0, 500, 4096, 0.5), (1, 2000, 2000, 1.0), (2, 64, 8192, 0.0),
      (5, 2048, 600_000, 1.0)],
 )
-def test_place_bitwise(seed, n, K, frac):
+def test_place_bitwise(seed, n, K, frac, mask_mode):
     pos, nval = _case(seed, n, K, frac)
     rng = np.random.default_rng(seed + 200)
     vals = rng.integers(0, 1 << 20, n).astype(np.int32)
-    out = np.asarray(ordered_place_i32(jnp.asarray(pos), jnp.asarray(vals), K))
+    out = np.asarray(ordered_place_i32(jnp.asarray(pos), jnp.asarray(vals), K,
+                                       mask_mode=mask_mode))
     ref = np.zeros((K,), np.int32)
     ok = pos < K
     ref[pos[ok]] = vals[ok]

@@ -125,3 +125,58 @@ def test_grow_capacity(rng):
     )
     ts3, m = step(ts2, cam, gt, jnp.zeros(3), jnp.asarray(3))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_chunk_step_matches_per_step(rng):
+    """Device-side chunked dispatch == per-step stepping (same cameras/gts),
+    including the accumulated overflow counters."""
+    cfg = tiny_config()
+    state, cam, fov = make_setup(rng)
+    gt0 = rng.uniform(0, 1, (4, 3, H, W)).astype(np.float32)
+    bg = jnp.zeros(3)
+    tan = float(np.tan(fov / 2))
+    times = [0.1, 0.4, 0.7, 0.9]
+    kw = dict(width=W, height=H, tan_fovx=tan, tan_fovy=tan,
+              active_sh_degree=0, spatial_lr_scale=1.0)
+
+    # Both step paths donate their TrainState; give each an independent copy
+    # of the underlying buffers.
+    state_a = jax.tree_util.tree_map(jnp.array, state)
+    state_b = jax.tree_util.tree_map(jnp.array, state)
+    ts_a = training.init_train_state(state_a, seed=0, cfg=cfg)
+    step = training.make_train_step(cfg, **kw)
+    for k in range(4):
+        ts_a, m_a = step(ts_a, cam._replace(time=jnp.float32(times[k])),
+                         jnp.asarray(gt0[k]), bg, jnp.asarray(7 + k))
+
+    ts_b = training.init_train_state(state_b, seed=0, cfg=cfg)
+    chunk = training.make_chunk_step(cfg, chunk_max=6, **kw)
+    cam_stack = CameraArrays(
+        world_view=jnp.stack([cam.world_view] * 6),
+        full_proj=jnp.stack([cam.full_proj] * 6),
+        camera_center=jnp.stack([cam.camera_center] * 6),
+        time=jnp.asarray(times + [0.0, 0.0], jnp.float32),
+    )
+    gts = jnp.concatenate([jnp.asarray(gt0), jnp.zeros((2, 3, H, W))])
+    ts_b, m_b = chunk(ts_b, cam_stack, gts, bg, jnp.asarray(7),
+                      jnp.asarray(4))
+
+    np.testing.assert_allclose(
+        np.asarray(ts_a.gaussians.xyz), np.asarray(ts_b.gaussians.xyz),
+        rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(ts_a.gaussians.opacity),
+        np.asarray(ts_b.gaussians.opacity), rtol=1e-6, atol=1e-7)
+    fa = jax.tree_util.tree_leaves(ts_a.deform)
+    fb = jax.tree_util.tree_leaves(ts_b.deform)
+    for a, b in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    assert float(m_a["loss"]) == pytest_approx(float(m_b["loss"]))
+    assert int(m_b["overflow_frames"]) == 0
+    assert int(m_b["required_instances"]) >= int(m_a["required_instances"])
+
+
+def pytest_approx(x, rel=1e-5):
+    import pytest
+    return pytest.approx(x, rel=rel)

@@ -158,6 +158,46 @@ def compute(out_path: str) -> None:
             ["g_xyz", "g_scaling", "g_rotation", "g_opacity", "g_fdc"], grads
         ):
             arrays[f"{name}_{tag}"] = np.asarray(a)
+
+    # ---- per-stage attribution of the deformation-ACTIVE divergence ------
+    # (VERDICT r3 #8).  The active-mode image bound (~1e-2) was attributed to
+    # backend transcendental divergence through the 8x256 trunk without
+    # per-layer evidence; these stage outputs let the comparator pin WHERE
+    # CPU-vs-TPU first diverges: posenc (pure sin/cos), MLP head outputs
+    # (trunk amplification), activated attributes (exp/normalize), then the
+    # screen-space preprocess and SH colors.  All on identical inputs.
+    from gs_deformable_tpu.models import deform as deform_mod
+    from gs_deformable_tpu.ops import sh as sh_ops
+    from gs_deformable_tpu.renderer import deformed_attributes
+
+    @jax.jit
+    def stage_probe(xyz, it):
+        t = jnp.full((xyz.shape[0], 1), cam.time, jnp.float32)
+        emb_x = deform_mod.posenc(xyz, cfg.deform.multires_xyz)
+        dx, dsc, drt, dsh = deform_mod.deform_offsets(
+            ts.deform, xyz, cam.time, it, cfg.deform, compute_dtype=None)
+        m3, sc, rot, opc, shs, _ = deformed_attributes(
+            g.replace(xyz=xyz), ts.deform, cam.time, it, cfg, None)
+        cov3d = build_cov3d(sc, rot, 1.0)
+        pre = preprocess(
+            m3, cov3d, cam.world_view, cam.full_proj,
+            width=W, height=H, tan_fovx=tanx, tan_fovy=tany,
+            tile_x=rc.tile_x, tile_y=rc.tile_y, alive=g.alive,
+            opacities=opc[:, 0] if opc.ndim == 2 else opc)
+        colors = sh_ops.eval_sh_color(3, shs, m3, cam.camera_center)
+        del t
+        return {
+            "st_posenc": emb_x,
+            "st_mlp_dx": dx, "st_mlp_dscale": dsc, "st_mlp_drot": drt,
+            "st_mlp_dshs": dsh,
+            "st_attr_means": m3, "st_attr_scales": sc, "st_attr_shs": shs,
+            "st_pre_conics": pre.conics, "st_pre_depths": pre.depths,
+            "st_pre_ndc": pre.means2d_ndc,
+            "st_colors": colors,
+        }
+
+    for k, v in stage_probe(g.xyz, jnp.asarray(10_000)).items():
+        arrays[k] = np.asarray(v)
     np.savez_compressed(out_path, meta=json.dumps(payload), **arrays)
 
 
@@ -220,6 +260,18 @@ def main():
             abs(mc[f"loss_{tag}"]), 1e-12)
         result[f"loss_{tag}_rel"] = round(lr, 9)
         ok &= lr < loss_tol
+
+    # Per-stage attribution of the active-mode divergence (informational —
+    # the chain posenc -> MLP heads -> attributes -> preprocess/colors shows
+    # where CPU-vs-TPU first diverges and how it amplifies; the dominant
+    # term is reported explicitly).
+    stage_keys = [k for k in cpu.files if k.startswith("st_")]
+    stage_err = {}
+    for k in sorted(stage_keys):
+        stage_err[k] = relerr(cpu[k], dev[k])
+        result[f"{k}_max_rel"] = round(stage_err[k], 9)
+    if stage_err:
+        result["act_dominant_stage"] = max(stage_err, key=stage_err.get)
 
     import jax
 
