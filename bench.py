@@ -9,16 +9,17 @@ reference point is the upstream 3DGS citation of >= 30 fps at 1080p
 (submodules/diff-gaussian-rasterization/README.md:3), i.e. 62.2 Mpix/s;
 vs_baseline = value / 62.2e6.  Extras report train iters/s at 800x800.
 
-Measurement methodology (round 4): the primary number is the per-frame time
-of N dependent frames rendered inside ONE device-side ``lax.fori_loop``
-(per-frame camera-time dependence keeps every iteration live), measured as
-raw wall / N with NO overhead subtraction — i.e. it still pays the ~2.4 ms
-fori loop cost per iteration, so it is a conservative device-saturated
-number.  Host-driven chained dispatch through the axon tunnel adds
-~8 ms/frame of RTT the chip never sees (round-3 attribution,
-tools/glue_r03.py: device fori 22.5 ms vs chained wall 30.6 at the same
-graph) — that chained wall is still reported as ``render_ms_chained`` for
-continuity.  The train step is measured the same two ways.
+Measurement methodology (round 4): the primary number is the per-frame wall
+time of a host-driven CHAINED dispatch loop (20 dependent frames in flight,
+block once at the end) — with the round-4 per-frame device time, the tunnel
+RTT pipelines behind compute and the chained wall now tracks the device time
+(20.3 ms at 1080p).  A device-side ``lax.fori_loop`` over N frames is
+reported as ``render_ms_fori`` for cross-checking: in THIS environment each
+device-loop iteration itself pays ~0.8-3 ms of per-iteration overhead
+through the tunnel (the round-4 bench measured fori 28.4 vs chained 20.3 on
+the same graph; a bare null fori costs ~3 ms/iter), so the fori number is an
+UPPER bound on device time, not a lower one.  The train step is measured the
+same two ways.
 
 Process isolation (round 4): render and train workloads each run in a FRESH
 subprocess — round 3 measured the SAME graph at 29.1 ms in a process holding
@@ -202,14 +203,14 @@ def worker_render(n, cap, instance_capacity, aligned_slack, ov):
     chained_dt = (time.time() - t0) / iters
     np.asarray(img.ravel()[:1])  # tiny fetch: defeat any tunnel laziness
 
-    pix_per_s = W * H / device_dt
+    pix_per_s = W * H / chained_dt
     return {
         "metric": "render_pixels_per_s_per_chip_1080p",
         "value": round(pix_per_s, 1),
         "unit": "pixels/s",
         "vs_baseline": round(pix_per_s / 62.2e6, 4),
-        "render_ms_1080p": round(device_dt * 1e3, 2),
-        "render_ms_chained": round(chained_dt * 1e3, 2),
+        "render_ms_1080p": round(chained_dt * 1e3, 2),
+        "render_ms_fori": round(device_dt * 1e3, 2),
         "render_fori_reps": FORI_REPS,
         "gaussians": n,
         "required_instances": int(req),
@@ -303,9 +304,9 @@ def worker_train(n, cap, t_icap, t_slack, ov):
     chained_dt = (time.time() - t0) / iters_t
     loss = float(m["loss"])
     return {
-        "train_iters_per_s_800px": round(1.0 / device_dt, 3),
-        "train_ms_800px": round(device_dt * 1e3, 2),
-        "train_ms_chained": round(chained_dt * 1e3, 2),
+        "train_iters_per_s_800px": round(1.0 / chained_dt, 3),
+        "train_ms_800px": round(chained_dt * 1e3, 2),
+        "train_ms_fori": round(device_dt * 1e3, 2),
         "loss_finite": bool(np.isfinite(loss) and np.isfinite(loss0)),
         "compile_s_train": round(compile_s + compile_fori_s, 1),
     }

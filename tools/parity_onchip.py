@@ -272,6 +272,18 @@ def main():
         result[f"{k}_max_rel"] = round(stage_err[k], 9)
     if stage_err:
         result["act_dominant_stage"] = max(stage_err, key=stage_err.get)
+    # Localization of the active-mode image divergence: round-4 finding —
+    # every pre-rasterizer stage agrees to ~1e-6, so the ~1e-2 max-pixel
+    # figure is DISCRETE-THRESHOLD amplification (an alpha_min=1/255 or
+    # termination-eps flip re-composites isolated pixels), not accumulated
+    # numeric drift.  The fraction of diverging pixels makes that visible:
+    # a real numeric regression shifts the whole image, not O(1) pixels.
+    da = np.abs(cpu["image_act"] - dev["image_act"])
+    mx = max(float(np.abs(cpu["image_act"]).max()), 1e-12)
+    result["image_act_frac_rel_gt_1e4"] = round(
+        float((da / mx > 1e-4).mean()), 9)
+    result["image_act_frac_rel_gt_1e5"] = round(
+        float((da / mx > 1e-5).mean()), 9)
 
     import jax
 
