@@ -199,6 +199,40 @@ def prepare_output_dir(args) -> str:
     return model_path
 
 
+def post_step_event(e: int, cfg: Config, args) -> bool:
+    """True when host-side work runs right AFTER training iteration ``e``
+    (eval / save / checkpoint / densify / opacity reset).  A device-side
+    chunk of steps may END at such an iteration but never straddle one."""
+    if (e in args.test_iterations or e in args.save_iterations
+            or e in args.checkpoint_iterations):
+        return True
+    if e < cfg.opt.densify_until_iter:
+        if (e > cfg.opt.densify_from_iter
+                and e % cfg.opt.densification_interval == 0):
+            return True
+        if e % cfg.opt.opacity_reset_interval == 0 or (
+                args.white_background and e == cfg.opt.densify_from_iter):
+            return True
+    return False
+
+
+def chunk_end_iteration(it0: int, cfg: Config, args, chunk_max: int) -> int:
+    """Last iteration of the device-side chunk starting at ``it0``.
+
+    Pre-step events (the SH-degree bump every 1000 iterations; profiler
+    windows are handled by disabling chunking) must fall on a chunk START,
+    so the chunk stops BEFORE the next multiple of 1000; post-step events
+    may fall exactly on the chunk END."""
+    end = min(it0 + chunk_max - 1, cfg.opt.iterations)
+    nxt_sh = ((it0 // 1000) + 1) * 1000
+    if nxt_sh <= end:
+        end = nxt_sh - 1
+    for e in range(it0, end):
+        if post_step_event(e, cfg, args):
+            return e
+    return end
+
+
 def cam_arrays(cam: Camera) -> CameraArrays:
     return CameraArrays(
         world_view=jnp.asarray(cam.world_view),
@@ -485,26 +519,47 @@ def train(args) -> str:
     pending_req = []
     overflow_frames = 0
 
-    # One-camera-ahead input pipeline: upload the next ground-truth image
-    # asynchronously while the current step runs (the reference moves images
-    # to the GPU at load time, cameras.py:40; here uploads overlap compute).
+    # Device-resident input pipeline.  The reference moves every image to the
+    # GPU once at load time (cameras.py:40); per-iteration uploads through
+    # the axon tunnel cost ~40 ms RTT plus ~0.4 s/MB of bandwidth — at 400px
+    # that alone throttled a quality run to ~0.6 s/iter (round-4 finding).
+    # Ground-truth images and the per-camera CameraArrays are uploaded ON
+    # FIRST USE and cached on device for the rest of the run (a 40-view
+    # 400px scene is ~80 MB of HBM; a budget guards pathological datasets,
+    # falling back to one-ahead rolling uploads).
+    _gt_cache: Dict[int, object] = {}
+    _gt_cache_bytes = [0]
+    _GT_CACHE_BUDGET = 6 << 30
+    _cam_cache: Dict[int, CameraArrays] = {}
+
+    def device_gt(cam):
+        key = id(cam)
+        hit = _gt_cache.get(key)
+        if hit is not None:
+            return hit
+        arr = jax.device_put(jnp.asarray(cam.image))
+        if _gt_cache_bytes[0] + arr.nbytes <= _GT_CACHE_BUDGET:
+            _gt_cache[key] = arr
+            _gt_cache_bytes[0] += arr.nbytes
+        return arr
+
+    def device_cam_arrays(cam):
+        key = id(cam)
+        hit = _cam_cache.get(key)
+        if hit is None:
+            hit = cam_arrays(cam)
+            _cam_cache[key] = hit
+        return hit
+
     def pick_camera():
         nonlocal_stack = viewpoint_stack
         if not nonlocal_stack:
             nonlocal_stack.extend(trainer.scene.get_train_cameras().copy())
         return nonlocal_stack.pop(randint(0, len(nonlocal_stack) - 1))
 
-    pending = None  # (camera, device_gt)
-
     def next_camera():
-        nonlocal pending
-        if pending is None:
-            cam = pick_camera()
-            pending = (cam, jax.device_put(jnp.asarray(cam.image)))
-        cam, gt = pending
-        nxt = pick_camera()
-        pending = (nxt, jax.device_put(jnp.asarray(nxt.image)))
-        return cam, gt
+        cam = pick_camera()
+        return cam, device_gt(cam)
 
     viewer_on = not args.disable_viewer
     if viewer_on:
@@ -516,32 +571,11 @@ def train(args) -> str:
             print(f"viewer disabled: {e}")
             viewer_on = False
 
-    # Host events that must run at exact iterations; a device-side chunk of
-    # steps may never straddle one.  Pre-step events (SH-degree bump,
-    # profiler window) must fall on a chunk START; post-step events (eval,
-    # save, checkpoint, densify, opacity reset) may fall on a chunk END.
     def _post_event(e):
-        if (e in args.test_iterations or e in args.save_iterations
-                or e in args.checkpoint_iterations):
-            return True
-        if e < cfg.opt.densify_until_iter:
-            if (e > cfg.opt.densify_from_iter
-                    and e % cfg.opt.densification_interval == 0):
-                return True
-            if e % cfg.opt.opacity_reset_interval == 0 or (
-                    args.white_background and e == cfg.opt.densify_from_iter):
-                return True
-        return False
+        return post_step_event(e, cfg, args)
 
     def _chunk_end(it0):
-        end = min(it0 + CHUNK_MAX - 1, cfg.opt.iterations)
-        nxt_sh = ((it0 // 1000) + 1) * 1000  # pre-step event: SH bump
-        if nxt_sh <= end:
-            end = nxt_sh - 1
-        for e in range(it0, end):
-            if _post_event(e):
-                return e
-        return end
+        return chunk_end_iteration(it0, cfg, args, CHUNK_MAX)
 
     # Chunked device-side dispatch amortizes the per-dispatch tunnel RTT
     # (~25-45 ms here) over up to CHUNK_MAX steps; disabled for multi-chip
@@ -578,7 +612,7 @@ def train(args) -> str:
             )
             if h >= 2 and uniform:
                 pad = CHUNK_MAX - h
-                cam_list = [cam_arrays(c) for c, _ in pairs]
+                cam_list = [device_cam_arrays(c) for c, _ in pairs]
                 cam_list += [cam_list[-1]] * pad
                 cam_stack = CameraArrays(
                     world_view=jnp.stack([c.world_view for c in cam_list]),
@@ -606,7 +640,7 @@ def train(args) -> str:
                 for k, (c, g) in enumerate(pairs):
                     step = trainer.step_fn(c)
                     trainer.ts, metrics = step(
-                        trainer.ts, cam_arrays(c), g, bg,
+                        trainer.ts, device_cam_arrays(c), g, bg,
                         jnp.asarray(it0 + k),
                     )
                     pending_req.append(

@@ -180,3 +180,40 @@ def test_chunk_step_matches_per_step(rng):
 def pytest_approx(x, rel=1e-5):
     import pytest
     return pytest.approx(x, rel=rel)
+
+
+def test_chunk_window_never_straddles_events():
+    """chunk_end_iteration must stop chunks at (not across) host events."""
+    import argparse
+    from gs_deformable_tpu.train import chunk_end_iteration, post_step_event
+    from gs_deformable_tpu.config import Config, OptimizationConfig
+
+    cfg = Config(opt=OptimizationConfig(
+        iterations=20000, densify_from_iter=500, densification_interval=100,
+        densify_until_iter=15000, opacity_reset_interval=3000))
+    args = argparse.Namespace(
+        test_iterations=[7003, 15000], save_iterations=[20000],
+        checkpoint_iterations=[], white_background=False)
+
+    it = 0
+    seen_ends = []
+    while it < cfg.opt.iterations:
+        it0 = it + 1
+        end = chunk_end_iteration(it0, cfg, args, 10)
+        assert it0 <= end <= cfg.opt.iterations
+        assert end - it0 + 1 <= 10
+        # no pre-step event strictly inside (SH bump at multiples of 1000)
+        for e in range(it0 + 1, end + 1):
+            assert e % 1000 != 0, (it0, end, e)
+        # no post-step event strictly before the end
+        for e in range(it0, end):
+            assert not post_step_event(e, cfg, args), (it0, end, e)
+        seen_ends.append(end)
+        it = end
+
+    # every event iteration is some chunk's end (so its host work runs)
+    ends = set(seen_ends)
+    for e in range(1, cfg.opt.iterations + 1):
+        if post_step_event(e, cfg, args):
+            assert e in ends, e
+    assert cfg.opt.iterations in ends
