@@ -84,13 +84,35 @@ def main():
                           "error": (tr.stderr or tr.stdout)[-400:]}))
         return
 
-    # PSNR trajectory from the train loop's eval milestones.
+    # PSNR trajectory from the TensorBoard eval scalars (--quiet silences
+    # the [ITER] stdout lines, so the event file is the reliable source).
     traj = {}
-    for m in re.finditer(
-            r"\[ITER (\d+)\] Evaluating (\w+): L1 ([\d.]+) PSNR ([\d.]+)",
-            tr.stdout):
-        it, name = int(m.group(1)), m.group(2)
-        traj.setdefault(name, []).append([it, float(m.group(4))])
+    try:
+        import glob as _glob
+        import struct
+
+        from tensorboardX.proto import event_pb2
+
+        ev_path = _glob.glob(os.path.join(model, "events*"))[0]
+        data = open(ev_path, "rb").read()
+        off = 0
+        while off + 12 <= len(data):
+            (ln,) = struct.unpack("<Q", data[off:off + 8])
+            off += 12
+            payload = data[off:off + ln]
+            off += ln + 4
+            ev = event_pb2.Event()
+            try:
+                ev.ParseFromString(payload)
+            except Exception:
+                continue
+            for v in ev.summary.value:
+                if v.tag.endswith("loss_viewpoint_-_psnr"):
+                    name = v.tag.split("/")[0]
+                    traj.setdefault(name, []).append(
+                        [int(ev.step), round(float(v.simple_value), 2)])
+    except Exception as e:
+        traj["error"] = f"{type(e).__name__}: {str(e)[:120]}"
 
     ev = subprocess.run(
         [sys.executable, "-m", "gs_deformable_tpu.render_cli", "-m", model],
