@@ -167,7 +167,8 @@ def tile_bounds_via_sort(tile_sorted: jnp.ndarray, num_tiles: int):
     return bounds
 
 
-def _delta_fills(values_list, active, positions, K: int, widths=None):
+def _delta_fills(values_list, active, positions, K: int, widths=None,
+                 fill_mode: str = "scatter"):
     """Segment-fill (K,) arrays with per-segment constants via delta cumsum.
 
     Each ``values_list[i]`` is an (N,)-sized array of per-segment values; the
@@ -237,14 +238,30 @@ def _delta_fills(values_list, active, positions, K: int, widths=None):
     )
     prev = jnp.concatenate([jnp.zeros((1, C), jnp.float32), compact[:-1]])
     delta = compact - prev
-    seg = jnp.zeros((K, C), jnp.float32).at[pos_compact].set(
-        delta, mode="drop", unique_indices=True, indices_are_sorted=True
-    )
-    cs = cumsum_cols_f32(seg).astype(jnp.int32)  # (K, C)
+    if fill_mode in ("pallas", "pallas_all"):
+        # pos_compact is ascending-unique (active positions in the prefix,
+        # K+j OOB sentinels in the tail), so the two-level fill kernel
+        # applies; the (K, C) scatter+cumsum it replaces pays the blocked
+        # cumsum's 128-lane padding on narrow C (~0.6 ms at bench scale for
+        # the 2-column relayout tables — tools/probe_r04 cost model).
+        from .pallas.ordered_fill import ordered_prefix_fill
+
+        ck = ordered_prefix_fill(pos_compact, delta, K).astype(jnp.int32)
+
+        def col(j):
+            return ck[j]
+    else:
+        seg = jnp.zeros((K, C), jnp.float32).at[pos_compact].set(
+            delta, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+        cs = cumsum_cols_f32(seg).astype(jnp.int32)
+
+        def col(j):
+            return cs[:, j]
 
     parts = {}
     for j, (i, kind) in enumerate(cols):
-        parts.setdefault(i, {})[kind] = cs[:, j]
+        parts.setdefault(i, {})[kind] = col(j)
     fills = []
     for i in range(len(values_list)):
         p = parts[i]
@@ -466,7 +483,9 @@ def bin_gaussians(
             vals, t > 0, offsets, K, widths=widths, fill_mode=fill_mode
         )
     else:
-        fills = _delta_fills(vals, t > 0, offsets, K, widths=widths)
+        fills = _delta_fills(
+            vals, t > 0, offsets, K, widths=widths, fill_mode=fill_mode
+        )
     safe_gid, offs, ic = fills[:3]
     idb = None if sort_mode in ("radix", "exact") else fills[3]
     pos = jnp.arange(K, dtype=jnp.int32)
@@ -553,7 +572,8 @@ def bin_gaussians(
     # known segment starts (tile_start): two delta-cumsum fills over the
     # sorted stream, scattered from (T,)-sized deltas.
     start_fill, chunk_base = _delta_fills(
-        [tile_start, chunk_start], tile_count > 0, tile_start, K
+        [tile_start, chunk_start], tile_count > 0, tile_start, K,
+        fill_mode=fill_mode,
     )
     rank_in_tile = pos - start_fill
 
