@@ -324,29 +324,33 @@ def make_sharded_train_step(
         loss = jax.lax.pmean(loss, "data")
 
         # Densification stats (add_densification_stats semantics, summed over
-        # the camera batch = n_data reference iterations), on the local slice.
+        # the camera batch = n_data reference iterations), on the local
+        # slice.  Gated by masking visibility, NOT lax.cond: a conditional
+        # whose operand/result is the whole GaussianState forces branch
+        # copies of every leaf (~10 ms of the 800px single-chip step —
+        # round-4 probe i/j; same hazard sharded), and the masked psums of
+        # zeros are exactly the identity update.
         gn = jnp.linalg.norm(g_screen[:, :2], axis=-1, keepdims=True)
         in_densify = iteration < cfg.opt.densify_until_iter
 
-        def upd_stats(g):
-            vis = aux["visibility_local"] & g.alive
-            accum = g.xyz_gradient_accum + jax.lax.psum(
-                jnp.where(vis[:, None], gn, 0.0), "data"
-            )
-            denom = g.denom + jax.lax.psum(
-                vis[:, None].astype(jnp.float32), "data"
-            )
-            radii = jnp.where(
-                vis,
-                jnp.maximum(g.max_radii2d, aux["radii_local"].astype(jnp.float32)),
-                g.max_radii2d,
-            )
-            radii = jax.lax.pmax(radii, "data")
-            return g.replace(
-                xyz_gradient_accum=accum, denom=denom, max_radii2d=radii
-            )
-
-        gstate = jax.lax.cond(in_densify, upd_stats, lambda g: g, gstate)
+        vis = aux["visibility_local"] & gstate.alive & in_densify
+        accum = gstate.xyz_gradient_accum + jax.lax.psum(
+            jnp.where(vis[:, None], gn, 0.0), "data"
+        )
+        denom = gstate.denom + jax.lax.psum(
+            vis[:, None].astype(jnp.float32), "data"
+        )
+        radii_upd = jnp.where(
+            vis,
+            jnp.maximum(
+                gstate.max_radii2d, aux["radii_local"].astype(jnp.float32)
+            ),
+            gstate.max_radii2d,
+        )
+        radii_upd = jax.lax.pmax(radii_upd, "data")
+        gstate = gstate.replace(
+            xyz_gradient_accum=accum, denom=denom, max_radii2d=radii_upd
+        )
         gstate = gstate.replace(
             last_offset_norm=aux["offset_norms_local"]
         )

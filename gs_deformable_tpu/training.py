@@ -173,15 +173,15 @@ def make_train_step(
 
         # Densification stats from the NDC mean2D gradient tap
         # (train.py:613-618, gaussian_model.py:1252-1257); only while the
-        # densification phase is active.
+        # densification phase is active.  Gated by masking the visibility,
+        # NOT by lax.cond: a conditional whose operand/result is the WHOLE
+        # GaussianState forces branch copies of every leaf (~10 ms of the
+        # 800px step on this backend — round-4 probe i/j), while the stats
+        # themselves touch three (P,)-sized arrays.
         in_densify = iteration < cfg.opt.densify_until_iter
-        gstate = jax.lax.cond(
-            in_densify,
-            lambda s: add_densification_stats(
-                s, g_screen, aux["visibility"], aux["radii"]
-            ),
-            lambda s: s,
-            gstate,
+        gstate = add_densification_stats(
+            gstate, g_screen,
+            jnp.logical_and(aux["visibility"], in_densify), aux["radii"],
         )
 
         # Latest-frame per-gaussian |dx| (offset-gated densification input,
