@@ -81,6 +81,15 @@ def _linear(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
         # bf16 operands want the ONE-pass MXU lowering; HIGHEST on bf16
         # inputs upcasts back to the 6-pass fp32 path, silently costing ~6x
         # (round-4 probe: the "bf16" deform trunk ran 9.7 ms, not ~2.5).
+        # Only bf16 may take this branch: an fp32 dtype here would silently
+        # run ONE bf16 pass (8 mantissa bits) — the documented TPU trap.
+        if jnp.dtype(dtype) != jnp.bfloat16:
+            raise ValueError(
+                f"_linear compute dtype {dtype!r}: only bfloat16 (one-pass "
+                "DEFAULT), 'float32_3x' (HIGH) or None (fp32 HIGHEST) are "
+                "meaningful tiers; fp32 with DEFAULT would be a silent "
+                "one-bf16-pass downgrade."
+            )
         x, w = x.astype(dtype), w.astype(dtype)
         precision = jax.lax.Precision.DEFAULT
     return (
@@ -184,16 +193,20 @@ def _map_row_blocks(fn, inputs, n: int, block: int):
     return tuple(o.reshape(n, *o.shape[2:]) for o in outs)
 
 
-def _effective_block(cfg: DeformConfig, compute_dtype) -> int:
-    """Row-block only the fp32 precision tiers.
+def _effective_block(cfg: DeformConfig, compute_dtype, n: int = 0) -> int:
+    """Row-block only the fp32 precision tiers (plus very large bf16).
 
     The lax.map exists solely to bound compiled code size, which blows up
     only under the 6-pass/3-pass fp32 lowerings; the bf16-DEFAULT tier
     compiles fine unblocked at full capacity AND the map's scan TRANSPOSE
     costs ~14 ms at 131k rows in the training backward (round-4c probe:
-    deform fwd+bwd 19.4 ms blocked vs 5.4 unblocked, identical math)."""
+    deform fwd+bwd 19.4 ms blocked vs 5.4 unblocked, identical math).
+    bf16 unblocked is only *evidenced* up to 131072 rows; past that
+    (capacity doubling / larger scenes) block at 131072 so code size stays
+    bounded instead of gambling against the remote-AOT 2 GiB executable cap."""
     if compute_dtype is not None and compute_dtype != "float32_3x":
-        return 0
+        bf16_probed_rows = 131072
+        return 0 if n <= bf16_probed_rows else bf16_probed_rows
     return cfg.block_rows
 
 
@@ -229,7 +242,7 @@ def deform_offsets(
             return apply_mlp(params, xe, te, cfg.skips, compute_dtype)
 
         return _map_row_blocks(
-            blk, (xyz, t), n, _effective_block(cfg, compute_dtype))
+            blk, (xyz, t), n, _effective_block(cfg, compute_dtype, n))
 
     def zeros(_):
         return (
@@ -288,7 +301,7 @@ def deform_se3(
             return (moved,)
 
         (moved,) = _map_row_blocks(
-            blk, (xyz, t), n, _effective_block(cfg, compute_dtype))
+            blk, (xyz, t), n, _effective_block(cfg, compute_dtype, n))
         return moved
 
     return jax.lax.cond(

@@ -349,6 +349,69 @@ def test_sharded_schedule_variants_match_single_device(rng, overrides):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_chunked_matches_per_step(rng):
+    """VERDICT r4 #4: the sharded chunked dispatch (fori inside shard_map)
+    must produce the same state/metrics as per-step dispatch of the same
+    cameras — including a dynamic trip count below chunk_max with padded
+    camera slots that must not execute."""
+    cfg = make_cfg()
+    state, cam, tan = make_setup()
+    ts0 = training.init_train_state(state, seed=0, cfg=cfg)
+    bg = jnp.zeros(3)
+    mesh = sharding.make_mesh(2, 2)
+    chunk_max, n_run = 4, 3
+    times = [0.1, 0.45, 0.8, 99.0]  # the pad slot (99.0) must never run
+
+    def cam_at(t):
+        return CameraArrays(
+            world_view=jnp.stack([cam.world_view] * 2),
+            full_proj=jnp.stack([cam.full_proj] * 2),
+            camera_center=jnp.stack([cam.camera_center] * 2),
+            time=jnp.asarray([t, t + 0.05], jnp.float32),
+        )
+
+    gts = jnp.asarray(rng.uniform(0, 1, (chunk_max, 2, 3, H, W)), jnp.float32)
+
+    # per-step
+    ts_a = sharding.shard_train_state(ts0, mesh)
+    step = sharding.make_sharded_train_step(
+        cfg, mesh, width=W, height=H, tan_fovx=tan, tan_fovy=tan,
+        active_sh_degree=0, spatial_lr_scale=1.0, capacity=64,
+    )
+    for k in range(n_run):
+        ts_a, m_a = step(ts_a, cam_at(times[k]), gts[k], bg,
+                         jnp.asarray(10 + k))
+
+    # chunked
+    state1, _, _ = make_setup()
+    ts_b = sharding.shard_train_state(
+        training.init_train_state(state1, seed=0, cfg=cfg), mesh)
+    chunk = sharding.make_sharded_chunk_step(
+        cfg, mesh, width=W, height=H, tan_fovx=tan, tan_fovy=tan,
+        active_sh_degree=0, spatial_lr_scale=1.0, capacity=64,
+        chunk_max=chunk_max,
+    )
+    cam_stack = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[cam_at(t) for t in times])
+    ts_b, m_b = chunk(ts_b, cam_stack, gts, bg, jnp.asarray(10),
+                      jnp.asarray(n_run))
+
+    np.testing.assert_allclose(
+        float(m_b["loss"]), float(m_a["loss"]), rtol=1e-5, atol=1e-6)
+    for k in ["xyz", "scaling", "opacity", "rotation", "f_dc"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ts_a.gaussians, k)),
+            np.asarray(getattr(ts_b.gaussians, k)),
+            rtol=2e-4, atol=2e-5, err_msg=k,
+        )
+    for la, lb in zip(jax.tree_util.tree_leaves(ts_a.deform),
+                      jax.tree_util.tree_leaves(ts_b.deform)):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=2e-4, atol=2e-5)
+    assert int(m_b["overflow_frames"]) == 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_opacity_mask_matches_single_device(rng):
     """The latent opacity-mask gate (use_opacity_mask) now flows through the
     sharded step via the shared renderer.deformed_attributes."""
