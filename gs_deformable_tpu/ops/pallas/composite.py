@@ -119,7 +119,7 @@ def _sum_rows(x):
     return _dot32(ones, x)
 
 
-def _composite_step(a_hat, skip, t_in, probe_in, eps, tril):
+def _composite_step(a_hat, skip, t_in, probe_in, eps, tril, reduce_t=True):
     """First-hit termination + transmittance bookkeeping for one chunk.
 
     Termination state rides a second carried scalar per pixel: the *probe*
@@ -148,6 +148,15 @@ def _composite_step(a_hat, skip, t_in, probe_in, eps, tril):
     - ``tril is None`` ("linear" mode): Hillis-Steele exclusive prefix
       *product* of (1 - alpha) via log2(chunk) shift-multiplies on the VPU —
       no transcendentals, no division, no MXU use.
+
+    ``reduce_t=False`` skips the per-chunk T bookkeeping and returns the full
+    inclusive-probe matrix (chunk, npix) in the T slot instead.  Two users:
+    the backward kernels, whose T chain is dead work (only t_g and probe feed
+    the gradients — the forward outputs carry final_T); and the forward's
+    deferred-reduction schedule, which folds the probe matrix into a carried
+    elementwise-min buffer and reduces ONCE per tile instead of paying a
+    log2(chunk) sublane min-reduction per chunk (min is associative and
+    commutative, so the deferral is value-identical).
     """
     om = 1.0 - a_hat
     if tril is None:
@@ -159,6 +168,9 @@ def _composite_step(a_hat, skip, t_in, probe_in, eps, tril):
         t_g = probe_in * p  # exclusive transmittance per row
         probe = t_g * om  # inclusive
         contrib = jnp.logical_not(skip) & (probe >= eps)
+        probe_out = probe[a_hat.shape[0] - 1 :, :]
+        if not reduce_t:
+            return contrib, t_g, probe, probe_out
         # CUDA leaves T at its value after the last *contributing* row (the
         # terminating row `continue`s without updating T).  probe is monotone
         # non-increasing, so that value is the min over contributing rows —
@@ -167,16 +179,17 @@ def _composite_step(a_hat, skip, t_in, probe_in, eps, tril):
             t_in,
             jnp.min(jnp.where(contrib, probe, _BIG), axis=0, keepdims=True),
         )
-        probe_out = probe[a_hat.shape[0] - 1 :, :]
         return contrib, t_g, t_out, probe_out
     log_om = jnp.log1p(-a_hat)  # exact 0 for skipped rows (a_hat == 0)
     csum = _dot32(tril, log_om)  # inclusive
     probe = probe_in * jnp.exp(csum)  # inclusive prefix product
     t_g = probe / om  # exclusive (om >= 1 - alpha_max = 0.01)
     contrib = jnp.logical_not(skip) & (probe >= eps)
+    probe_out = probe[a_hat.shape[0] - 1 :, :]
+    if not reduce_t:
+        return contrib, t_g, probe, probe_out
     log_eff = jnp.where(contrib, log_om, 0.0)
     t_out = t_in * jnp.exp(_sum_rows(log_eff))
-    probe_out = probe[a_hat.shape[0] - 1 :, :]
     return contrib, t_g, t_out, probe_out
 
 
@@ -263,6 +276,8 @@ def _forward_kernel(
     out_ref,
     buf,
     sem,
+    tmin_scr,
+    ncb_scr,
     *,
     grid_x: int,
     tile_x: int,
@@ -318,11 +333,11 @@ def _forward_kernel(
         return m
 
     def cond(carry):
-        i, _, probe, *_ = carry
+        i, probe, *_ = carry
         return (i < nchunks) & (anylive(probe) >= eps)
 
     def body(carry):
-        i, t_acc, probe, c0, c1, c2, nc = carry
+        i, probe, c0, c1, c2 = carry
 
         @pl.when(i + 1 < nchunks)
         def _():
@@ -330,17 +345,15 @@ def _forward_kernel(
 
         wait(i % 2, i)
         base = i * chunk
-        t_acc, probe, c0, c1, c2, nc = (
-            list(t_acc), list(probe), list(c0), list(c1), list(c2), list(nc)
-        )
+        probe, c0, c1, c2 = list(probe), list(c0), list(c1), list(c2)
         for j in range(tb):
             rows = jnp.transpose(buf[i % 2, :, j])  # (chunk, 16)
             px, py = coords[j]
             a_hat, skip, _, _, _, row = _chunk_geometry(
                 rows, px, py, base, counts[j], alpha_max, alpha_min, chunk
             )
-            contrib, t_g, t_acc[j], probe[j] = _composite_step(
-                a_hat, skip, t_acc[j], probe[j], eps, tril
+            contrib, t_g, probe_m, probe[j] = _composite_step(
+                a_hat, skip, None, probe[j], eps, tril, reduce_t=False
             )
             # Colors are per-instance constants, so the three weighted pixel
             # sums are ONE (3, chunk) @ (chunk, npix) matmul on the (mostly
@@ -355,17 +368,35 @@ def _forward_kernel(
             c0[j] = c0[j] + crgb[0:1]
             c1[j] = c1[j] + crgb[1:2]
             c2[j] = c2[j] + crgb[2:3]
+            # DEFERRED T/n_contrib bookkeeping: the old schedule paid a
+            # log2(chunk) sublane min-reduce (final-T) and max-reduce
+            # (n_contrib) per chunk body — ~25% of the VPU ops of a chunk.
+            # min/max are associative+commutative, so the per-chunk
+            # reductions fold into carried elementwise buffers (2 VPU ops
+            # each) and reduce ONCE per tile after the sweep — value-
+            # identical in linear scan mode (bitwise: same values, same
+            # min/max lattice), ~1e-7 in log mode (final_T via min-of-probe
+            # instead of the exp(sum) product form).
             gidx = (base + row + 1).astype(jnp.float32)
-            nc[j] = jnp.maximum(
-                nc[j], jnp.max(jnp.where(contrib, gidx, 0.0), axis=0, keepdims=True)
-            )
-        return (i + 1, tuple(t_acc), tuple(probe), tuple(c0), tuple(c1),
-                tuple(c2), tuple(nc))
+            tm = jnp.where(contrib, probe_m, _BIG)
+            ncv = jnp.where(contrib, gidx, 0.0)
+
+            @pl.when(i == 0)
+            def _():
+                tmin_scr[j] = tm
+                ncb_scr[j] = ncv
+
+            @pl.when(i > 0)
+            def _():
+                tmin_scr[j] = jnp.minimum(tmin_scr[j], tm)
+                ncb_scr[j] = jnp.maximum(ncb_scr[j], ncv)
+
+        return (i + 1, tuple(probe), tuple(c0), tuple(c1), tuple(c2))
 
     ones = tuple(jnp.ones((1, npix), jnp.float32) for _ in range(tb))
     zeros = tuple(jnp.zeros((1, npix), jnp.float32) for _ in range(tb))
-    init = (jnp.int32(0), ones, ones, zeros, zeros, zeros, zeros)
-    ie, t_fin, _, c0, c1, c2, nc = jax.lax.while_loop(cond, body, init)
+    init = (jnp.int32(0), ones, zeros, zeros, zeros)
+    ie, _, c0, c1, c2 = jax.lax.while_loop(cond, body, init)
 
     # Early exit leaves one prefetched chunk wave in flight; drain it so the
     # DMA semaphores are clean at kernel end.
@@ -377,8 +408,19 @@ def _forward_kernel(
         out_ref[j, 0:1, :] = c0[j]
         out_ref[j, 1:2, :] = c1[j]
         out_ref[j, 2:3, :] = c2[j]
-        out_ref[j, 3:4, :] = t_fin[j]
-        out_ref[j, 4:5, :] = nc[j]
+
+        @pl.when(nchunks > 0)
+        def _():  # per-tile deferred reductions (once, not per chunk)
+            out_ref[j, 3:4, :] = jnp.minimum(
+                1.0, jnp.min(tmin_scr[j], axis=0, keepdims=True)
+            )
+            out_ref[j, 4:5, :] = jnp.max(ncb_scr[j], axis=0, keepdims=True)
+
+        @pl.when(nchunks == 0)
+        def _():  # empty group: buffers were never written
+            out_ref[j, 3:4, :] = jnp.ones((1, npix), jnp.float32)
+            out_ref[j, 4:5, :] = jnp.zeros((1, npix), jnp.float32)
+
         out_ref[j, 5:8, :] = jnp.zeros((3, npix), jnp.float32)
 
 
@@ -462,7 +504,7 @@ def _backward_kernel(
         )
 
     def body(i, carry):
-        t_acc, probe, pcs = (list(c) for c in carry)
+        probe, pcs = (list(c) for c in carry)
 
         @pl.when(i + 1 < nchunks)
         def _():
@@ -477,8 +519,11 @@ def _backward_kernel(
             a_hat, skip, g_exp, dx, dy, row = _chunk_geometry(
                 rows, px, py, base, counts[j], alpha_max, alpha_min, chunk
             )
-            contrib, t_g, t_acc[j], probe[j] = _composite_step(
-                a_hat, skip, t_acc[j], probe[j], eps, step_tril
+            # reduce_t=False: the backward never consumes the running T (the
+            # forward outputs carry final_T); its per-chunk min-reduction was
+            # dead work.
+            contrib, t_g, _, probe[j] = _composite_step(
+                a_hat, skip, None, probe[j], eps, step_tril, reduce_t=False
             )
             in_range = (base + row) < counts[j]
             grads, pcs[j] = _instance_grads(
@@ -498,11 +543,11 @@ def _backward_kernel(
                 )
                 wcp.start()
                 wcp.wait()
-        return (tuple(t_acc), tuple(probe), tuple(pcs))
+        return (tuple(probe), tuple(pcs))
 
     ones = tuple(jnp.ones((1, npix), jnp.float32) for _ in range(tb))
     zeros = tuple(jnp.zeros((1, npix), jnp.float32) for _ in range(tb))
-    jax.lax.fori_loop(0, nchunks, body, (ones, ones, zeros))
+    jax.lax.fori_loop(0, nchunks, body, (ones, zeros))
 
 
 @functools.lru_cache(maxsize=None)
@@ -560,6 +605,11 @@ def make_batch_calls(
             scratch_shapes=[
                 pltpu.VMEM((2, SPLAT_WIDTH, tb, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, tb)),
+                # Deferred-reduction buffers: elementwise running min of the
+                # contributing probe (final_T) and max contributing rank
+                # (n_contrib) per batched tile; reduced once per tile.
+                pltpu.VMEM((tb, chunk, npix), jnp.float32),
+                pltpu.VMEM((tb, chunk, npix), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((t_pad, 8, npix), jnp.float32),

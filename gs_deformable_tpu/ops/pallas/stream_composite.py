@@ -232,7 +232,7 @@ def _stream_backward_kernel(
                 def _():
                     ring_dma(kopen + lookahead, nxt).start()
 
-                state[0:2, :] = jnp.ones((2, npix), jnp.float32)  # T, probe
+                state[1:2, :] = jnp.ones((1, npix), jnp.float32)  # probe
                 state[2:3, :] = jnp.zeros((1, npix), jnp.float32)
 
             saturated = jnp.max(state[1:2, :]) < eps
@@ -261,8 +261,13 @@ def _stream_backward_kernel(
                 a_hat, skip, g_exp, dx, dy, row = _chunk_geometry(
                     rows, px, py, inbase, cnt, alpha_max, alpha_min, chunk
                 )
-                contrib, t_g, t_out, probe_out = _composite_step(
-                    a_hat, skip, state[0:1, :], state[1:2, :], eps, step_tril
+                # reduce_t=False: the backward never consumes the running T
+                # (final_T arrives via the forward outputs in the meta ring);
+                # its per-chunk min-reduction was dead work.  state row 0 is
+                # unused and kept only for the scratch layout.
+                contrib, t_g, _, probe_out = _composite_step(
+                    a_hat, skip, None, state[1:2, :], eps, step_tril,
+                    reduce_t=False,
                 )
                 in_range = (inbase + row) < cnt
                 grads, pcc_out = _instance_grads(
@@ -270,7 +275,6 @@ def _stream_backward_kernel(
                     skip, gc0, gc1, gc2, gtotal, state[2:3, :], tril, chunk,
                 )
                 dsplat_ref[:, j * chunk : (j + 1) * chunk] = jnp.transpose(grads)
-                state[0:1, :] = t_out
                 state[1:2, :] = probe_out
                 state[2:3, :] = pcc_out
 
