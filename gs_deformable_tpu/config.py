@@ -58,6 +58,13 @@ class DeformConfig:
     # quality loss — the MLP is a trained component, not a parity surface),
     # while the per-frame MLP cost is 2.5 / 5.2 / 6.4 ms at 131k gaussians.
     compute_dtype: str = "bfloat16"
+    # bf16 COTANGENTS for the MLP backward (round 5): the default VJP of the
+    # bf16 tier feeds fp32 cotangents into the transposed dots, which this
+    # backend runs ~2x slower than one-pass bf16 (probe: fwd+bwd 5.2 vs
+    # 2.8 ms at 131k rows).  True casts the inter-layer cotangents to bf16
+    # (fp32 accumulation kept).  Quality-anchored by the round-5 A/B
+    # (tools/quality_ab_r05.py): enable only if dPSNR <= 0.1.
+    bf16_cotangents: bool = False
     # Rows per lax.map block of the MLP application: bounds compiled code
     # size (an unbounded fused posenc+matmul lowering grew with the row
     # count past the remote-AOT helper's 2 GiB executable cap) with
@@ -186,6 +193,15 @@ class RasterizeConfig:
     # and passes the committed exact-culling gradient parity bar.
     # "scatter" = XLA's native gather-transpose lowering (fallback / A/B).
     grad_reduce: str = "sort"
+    # Deferred forward T/n_contrib reductions in the tile-batched composite
+    # kernel: fold the per-chunk sublane min/max reductions into carried
+    # elementwise buffers, reducing once per tile.  Value-identical in
+    # linear scan mode — but MEASURED SLOWER on-chip (round-5 same-process
+    # A/B at 1080p bench scale: 23.6 ms deferred vs 21.1 per-chunk): Mosaic
+    # sublane reductions cost ~1-2 array passes, cheaper than the deferral's
+    # 2x (chunk, npix) buffer read+write per chunk.  Kept as a measured
+    # A/B knob; default False (per-chunk reductions).
+    defer_fwd_reductions: bool = False
     # Composite termination threshold (forward.cu:347).
     transmittance_eps: float = 1e-4
     # Per-splat alpha clamp (forward.cu:343-344).

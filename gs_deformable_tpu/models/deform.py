@@ -68,8 +68,48 @@ def _linear_init(key, fan_in: int, fan_out: int) -> Params:
     return {"w": w, "b": b}
 
 
+@jax.custom_vjp
+def _bf16_mm(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """One-pass bf16 MXU matmul whose BACKWARD also runs one-pass bf16.
+
+    The default VJP of the bf16 forward feeds fp32 cotangents into the
+    transposed dots; under this backend that lowers to a slower path than
+    the forward's one-pass bf16 (round-4 probe: MLP fwd+bwd 5.2 ms fp32-
+    cotangent vs 2.8 ms bf16-cotangent at 131k rows).  Here the cotangent
+    is cast to bf16 before both transposed dots (fp32 accumulation kept) —
+    this truncates inter-layer gradient significands to 8 bits, which the
+    round-5 quality-anchor A/B bounds (see DeformConfig.bf16_cotangents).
+    """
+    return jnp.dot(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _bf16_mm_fwd(x, w):
+    return _bf16_mm(x, w), (x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+
+
+def _bf16_mm_bwd(res, g):
+    xb, wb = res
+    gb = g.astype(jnp.bfloat16)
+    dx = jnp.dot(gb, wb.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.DEFAULT)
+    dw = jnp.dot(xb.T, gb, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.DEFAULT)
+    return dx, dw
+
+
+_bf16_mm.defvjp(_bf16_mm_fwd, _bf16_mm_bwd)
+
+
 def _linear(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     w, b = p["w"], p["b"]
+    if dtype == "bfloat16_bwd":
+        # bf16 forward AND bf16-cotangent backward (quality knob, see
+        # _bf16_mm; selected by DeformConfig.bf16_cotangents).
+        return _bf16_mm(x, w) + b.astype(jnp.float32)
     precision = jax.lax.Precision.HIGHEST
     if dtype == "float32_3x":
         # Precision.HIGH = 3 bf16 passes: ~2x the HIGHEST throughput at

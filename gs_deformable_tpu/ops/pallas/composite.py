@@ -289,6 +289,7 @@ def _forward_kernel(
     alpha_min: float,
     eps: float,
     scan_mode: str,
+    defer: bool = True,
 ):
     npix = tile_x * tile_y
     g = pl.program_id(0)
@@ -380,16 +381,28 @@ def _forward_kernel(
             gidx = (base + row + 1).astype(jnp.float32)
             tm = jnp.where(contrib, probe_m, _BIG)
             ncv = jnp.where(contrib, gidx, 0.0)
+            if defer:
+                @pl.when(i == 0)
+                def _():
+                    tmin_scr[j] = tm
+                    ncb_scr[j] = ncv
 
-            @pl.when(i == 0)
-            def _():
-                tmin_scr[j] = tm
-                ncb_scr[j] = ncv
-
-            @pl.when(i > 0)
-            def _():
-                tmin_scr[j] = jnp.minimum(tmin_scr[j], tm)
-                ncb_scr[j] = jnp.maximum(ncb_scr[j], ncv)
+                @pl.when(i > 0)
+                def _():
+                    tmin_scr[j] = jnp.minimum(tmin_scr[j], tm)
+                    ncb_scr[j] = jnp.maximum(ncb_scr[j], ncv)
+            else:
+                # Round-3 schedule (A/B reference): reduce per chunk.
+                tmin_scr[j, 0:1, :] = jnp.minimum(
+                    jnp.where(i == 0, jnp.ones((1, npix), jnp.float32),
+                              tmin_scr[j, 0:1, :]),
+                    jnp.min(tm, axis=0, keepdims=True),
+                )
+                ncb_scr[j, 0:1, :] = jnp.maximum(
+                    jnp.where(i == 0, jnp.zeros((1, npix), jnp.float32),
+                              ncb_scr[j, 0:1, :]),
+                    jnp.max(ncv, axis=0, keepdims=True),
+                )
 
         return (i + 1, tuple(probe), tuple(c0), tuple(c1), tuple(c2))
 
@@ -411,10 +424,14 @@ def _forward_kernel(
 
         @pl.when(nchunks > 0)
         def _():  # per-tile deferred reductions (once, not per chunk)
-            out_ref[j, 3:4, :] = jnp.minimum(
-                1.0, jnp.min(tmin_scr[j], axis=0, keepdims=True)
-            )
-            out_ref[j, 4:5, :] = jnp.max(ncb_scr[j], axis=0, keepdims=True)
+            if defer:
+                out_ref[j, 3:4, :] = jnp.minimum(
+                    1.0, jnp.min(tmin_scr[j], axis=0, keepdims=True)
+                )
+                out_ref[j, 4:5, :] = jnp.max(ncb_scr[j], axis=0, keepdims=True)
+            else:
+                out_ref[j, 3:4, :] = tmin_scr[j, 0:1, :]
+                out_ref[j, 4:5, :] = ncb_scr[j, 0:1, :]
 
         @pl.when(nchunks == 0)
         def _():  # empty group: buffers were never written
@@ -564,6 +581,7 @@ def make_batch_calls(
     alpha_min: float = 1.0 / 255.0,
     eps: float = 1e-4,
     scan_mode: str = "log",
+    defer_reductions: bool = True,
     interpret: bool = False,
 ):
     """Raw forward/backward pallas_calls of the tile-batched schedule.
@@ -594,7 +612,7 @@ def make_batch_calls(
     )
 
     fwd_call = pl.pallas_call(
-        functools.partial(_forward_kernel, **kw),
+        functools.partial(_forward_kernel, defer=defer_reductions, **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(groups,),
@@ -664,6 +682,7 @@ def make_tile_composite(
     alpha_min: float = 1.0 / 255.0,
     eps: float = 1e-4,
     scan_mode: str = "log",
+    defer_reductions: bool = True,
     interpret: bool = False,
 ):
     """Build the differentiable tile-compositing op for a static geometry.
@@ -685,6 +704,7 @@ def make_tile_composite(
         alpha_min=alpha_min,
         eps=eps,
         scan_mode=scan_mode,
+        defer_reductions=defer_reductions,
         interpret=interpret,
     )
 

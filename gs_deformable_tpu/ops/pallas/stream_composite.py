@@ -517,6 +517,7 @@ def make_mixed_composite(
     alpha_min: float = 1.0 / 255.0,
     eps: float = 1e-4,
     scan_mode: str = "log",
+    defer_reductions: bool = True,
     interpret: bool = False,
 ):
     """Tile-batched forward paired with the stream-schedule backward.
@@ -534,7 +535,8 @@ def make_mixed_composite(
         grid_x=grid_x, grid_y=grid_y, tile_x=tile_x, tile_y=tile_y,
         chunk=chunk, padded_capacity=padded_capacity, tile_batch=tile_batch,
         alpha_max=alpha_max, alpha_min=alpha_min, eps=eps,
-        scan_mode=scan_mode, interpret=interpret,
+        scan_mode=scan_mode, defer_reductions=defer_reductions,
+        interpret=interpret,
     )
     _, s_bwd, c_padded, kp_padded = make_stream_calls(
         grid_x=grid_x, grid_y=grid_y, tile_x=tile_x, tile_y=tile_y,

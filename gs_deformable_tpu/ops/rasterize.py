@@ -160,10 +160,13 @@ def composite_tiles(
         from .pallas.stream_composite import make_mixed_composite
 
         comp = make_mixed_composite(
-            tile_batch=cfg.tile_batch, stream_chunks=cfg.stream_chunks, **common
+            tile_batch=cfg.tile_batch, stream_chunks=cfg.stream_chunks,
+            defer_reductions=cfg.defer_fwd_reductions, **common
         )
     else:
-        comp = make_tile_composite(tile_batch=cfg.tile_batch, **common)
+        comp = make_tile_composite(
+            tile_batch=cfg.tile_batch,
+            defer_reductions=cfg.defer_fwd_reductions, **common)
     out_tiles = comp(
         sorted_splats_t, binning.tile_chunk_start, binning.tile_count
     )[: grid_x * grid_y]

@@ -50,10 +50,12 @@ def deformed_attributes(
     xyz = state.xyz
     n = xyz.shape[0]
     cd = cfg.deform.compute_dtype
-    compute_dtype = (
-        jnp.bfloat16 if cd == "bfloat16"
-        else ("float32_3x" if cd == "float32_3x" else None)
-    )
+    if cd == "bfloat16":
+        compute_dtype = (
+            "bfloat16_bwd" if cfg.deform.bf16_cotangents else jnp.bfloat16
+        )
+    else:
+        compute_dtype = "float32_3x" if cd == "float32_3x" else None
     mode = cfg.model.deform_mode
     if mode == "offset":
         assert cfg.deform.sh_coeffs == (cfg.model.sh_degree + 1) ** 2, (

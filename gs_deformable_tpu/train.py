@@ -105,6 +105,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--composite_mode", default=RasterizeConfig().composite_mode,
                    choices=["mixed", "batch", "stream", "packed"])
     p.add_argument("--warmup_iters", type=int, default=DeformConfig().warmup_iters)
+    p.add_argument("--mlp_dtype", default=DeformConfig().compute_dtype,
+                   choices=["bfloat16", "float32_3x", "float32"],
+                   help="deformation-MLP matmul precision tier")
+    p.add_argument("--bf16_cotangents", action="store_true",
+                   help="bf16 cotangents in the MLP backward (perf knob; "
+                        "quality-anchored by tools/quality_ab_r05.py)")
     # schedule / io
     p.add_argument("--test_iterations", nargs="+", type=int,
                    default=[7_000, 15_000] + list(range(20_000, 40_001, 10_000)))
@@ -150,7 +156,12 @@ def config_from_args(args) -> Config:
             use_opacity_mask=args.use_opacity_mask,
             random_init_points=args.random_init_points,
         ),
-        deform=DeformConfig(warmup_iters=args.warmup_iters, sh_coeffs=K),
+        deform=DeformConfig(
+            warmup_iters=args.warmup_iters, sh_coeffs=K,
+            compute_dtype=getattr(args, "mlp_dtype",
+                                  DeformConfig().compute_dtype),
+            bf16_cotangents=getattr(args, "bf16_cotangents", False),
+        ),
         pipeline=PipelineConfig(
             convert_shs_python=args.convert_SHs_python,
             compute_cov3d_python=args.compute_cov3D_python,

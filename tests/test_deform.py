@@ -105,6 +105,30 @@ def test_bfloat16_compute_close_to_fp32(rng):
         assert float(jnp.abs(x - y).max()) < 0.05 * scale
 
 
+def test_bf16_cotangent_backward_close_to_bf16(rng):
+    """The bfloat16_bwd tier: identical FORWARD to the bf16 tier (same
+    one-pass bf16 dots), and a backward whose bf16-truncated cotangents stay
+    within bf16-relative error of the fp32-cotangent bf16-tier gradients."""
+    cfg = DeformConfig(depth=4, width=64)
+    params = deform.init_offset_net(jax.random.PRNGKey(0), cfg)
+    xyz = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+
+    def loss(p, dtype):
+        outs = deform.deform_offsets(
+            p, xyz, 0.4, jnp.asarray(5000), cfg, compute_dtype=dtype)
+        return sum(jnp.sum(o * o) for o in outs)
+
+    la, ga = jax.value_and_grad(loss)(params, jnp.bfloat16)
+    lb, gb = jax.value_and_grad(loss)(params, "bfloat16_bwd")
+    assert float(la) == float(lb)  # same forward dots
+    leaves_a = jax.tree_util.tree_leaves(ga)
+    leaves_b = jax.tree_util.tree_leaves(gb)
+    for x, y in zip(leaves_a, leaves_b):
+        assert bool(jnp.isfinite(y).all())
+        scale = float(jnp.abs(x).max()) + 1e-6
+        assert float(jnp.abs(x - y).max()) < 0.05 * scale
+
+
 def test_block_rows_matches_unblocked():
     """lax.map row blocking is a pure scheduling change: identical outputs."""
     import dataclasses
