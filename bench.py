@@ -21,6 +21,13 @@ the same graph; a bare null fori costs ~3 ms/iter), so the fori number is an
 UPPER bound on device time, not a lower one.  The train step is measured the
 same two ways.
 
+Train metrics (round 5): ``train_ms_800px`` is per-step chained dispatch
+(comparable to BENCH_r04); ``train_ms_800px_chunked`` measures the PRODUCT
+training loop's dispatch mode — up to 10 steps per device-side chunk
+(training.make_chunk_step), which pays the tunnel's ~12 ms TrainState
+return/carry cost once per chunk instead of once per step.
+``train_iters_per_s_800px`` reports the chunked (product-loop) rate.
+
 Process isolation (round 4): render and train workloads each run in a FRESH
 subprocess — round 3 measured the SAME graph at 29.1 ms in a process holding
 several big executables resident and 22.5 ms in a clean process, so mixing
@@ -64,7 +71,7 @@ SCALES = [
 # Fail-soft ladder (VERDICT r2 #7): a Pallas kernel failing Mosaic
 # compile must degrade the config — alternate composite schedule and/or
 # the pure-XLA scatter fill path — and report a NUMBER plus a `degraded`
-# field, not 0.0.  The RasterizeConfig default fill_mode is "pallas"
+# field, not 0.0.  The RasterizeConfig default fill_mode is "pallas_all"
 # (ordered_fill kernels), so the ladder also includes fill_mode="scatter"
 # rungs (an ordered_fill Mosaic regression would otherwise fail every
 # rung identically — round-3 advisor finding).
@@ -227,7 +234,7 @@ def worker_train(n, cap, t_icap, t_slack, ov):
     from gs_deformable_tpu.ops.binning import aligned_capacity
     from gs_deformable_tpu import training
 
-    Wt = Ht = 800
+    Wt = Ht = int(os.environ.get("BENCH_TRAIN_SIZE", "800"))
     # Learning rates are zeroed so the measured steps run the FULL
     # fwd+bwd+Adam computation on a pinned workload: with live LRs this
     # synthetic scene's splats grow ~2x in instances within 10 steps, which
@@ -303,12 +310,48 @@ def worker_train(n, cap, t_icap, t_slack, ov):
     jax.block_until_ready(m["loss"])
     chained_dt = (time.time() - t0) / iters_t
     loss = float(m["loss"])
+
+    # Product-loop dispatch: the ACTUAL training loop runs up to 10 steps
+    # per device-side chunk (training.make_chunk_step), paying the tunnel's
+    # ~12 ms TrainState return/carry overhead (round-4 finding 8) once per
+    # CHUNK instead of once per step.  Per-iteration wall of that loop is
+    # the throughput a training run actually gets.
+    from gs_deformable_tpu.renderer import CameraArrays
+
+    CH = 10
+    chunk_fn = training.make_chunk_step(
+        cfg, width=Wt, height=Ht, tan_fovx=tx, tan_fovy=ty,
+        active_sh_degree=3, spatial_lr_scale=1.0, chunk_max=CH,
+    )
+    cam_stack = CameraArrays(
+        world_view=jnp.stack([cam.world_view] * CH),
+        full_proj=jnp.stack([cam.full_proj] * CH),
+        camera_center=jnp.stack([cam.camera_center] * CH),
+        time=cam.time + jnp.arange(CH, dtype=jnp.float32) * 1e-9,
+    )
+    gt_stack = jnp.stack([gt] * CH)
+    t0 = time.time()
+    ts_c, mc = chunk_fn(ts_local, cam_stack, gt_stack, jnp.zeros(3),
+                        jnp.asarray(6001), jnp.asarray(CH))
+    jax.block_until_ready(mc["loss"])
+    compile_chunk_s = time.time() - t0
+    n_chunks = 4
+    t0 = time.time()
+    for k in range(n_chunks):
+        ts_c, mc = chunk_fn(ts_c, cam_stack, gt_stack, jnp.zeros(3),
+                            jnp.asarray(6011 + CH * k), jnp.asarray(CH))
+    jax.block_until_ready(mc["loss"])
+    chunked_dt = (time.time() - t0) / (n_chunks * CH)
     return {
-        "train_iters_per_s_800px": round(1.0 / chained_dt, 3),
+        "train_iters_per_s_800px": round(1.0 / chunked_dt, 3),
         "train_ms_800px": round(chained_dt * 1e3, 2),
+        "train_ms_800px_chunked": round(chunked_dt * 1e3, 2),
         "train_ms_fori": round(device_dt * 1e3, 2),
-        "loss_finite": bool(np.isfinite(loss) and np.isfinite(loss0)),
-        "compile_s_train": round(compile_s + compile_fori_s, 1),
+        "loss_finite": bool(
+            np.isfinite(loss) and np.isfinite(loss0)
+            and np.isfinite(float(mc["loss"]))),
+        "compile_s_train": round(
+            compile_s + compile_fori_s + compile_chunk_s, 1),
     }
 
 

@@ -58,12 +58,14 @@ class DeformConfig:
     # quality loss — the MLP is a trained component, not a parity surface),
     # while the per-frame MLP cost is 2.5 / 5.2 / 6.4 ms at 131k gaussians.
     compute_dtype: str = "bfloat16"
-    # bf16 COTANGENTS for the MLP backward (round 5): the default VJP of the
-    # bf16 tier feeds fp32 cotangents into the transposed dots, which this
-    # backend runs ~2x slower than one-pass bf16 (probe: fwd+bwd 5.2 vs
-    # 2.8 ms at 131k rows).  True casts the inter-layer cotangents to bf16
-    # (fp32 accumulation kept).  Quality-anchored by the round-5 A/B
-    # (tools/quality_ab_r05.py): enable only if dPSNR <= 0.1.
+    # bf16 COTANGENTS for the MLP backward (round 5): casts the inter-layer
+    # cotangents to bf16 before the transposed dots (fp32 accumulation
+    # kept).  The round-4 ISOLATED-MLP probe suggested 5.2 -> 2.8 ms, but
+    # the round-5 full-step same-process A/B (tools/probe_r05b.py, 800px
+    # packed train) measured only 44.0 -> 43.5 ms (loss fwd+bwd 32.6 ->
+    # 32.3) — the isolated win does not survive in the full graph, so the
+    # 8-bit gradient truncation is not worth ~0.4 ms.  Kept as a measured
+    # A/B knob; default False.
     bf16_cotangents: bool = False
     # Rows per lax.map block of the MLP application: bounds compiled code
     # size (an unbounded fused posenc+matmul lowering grew with the row
