@@ -74,9 +74,17 @@ def main():
     P = pix.shape[0]
 
     def consume(*xs):
+        # ORDER-WEIGHTED consumption: a plain sum of sort outputs is
+        # permutation-invariant, which let XLA fold the bounds/full stage
+        # graphs in the first round-5 run (0.03 ms readings).  Weighting by
+        # position makes every consumed value order-dependent.
         tot = jnp.float32(0)
         for x in xs:
-            tot = tot + x.astype(jnp.float32).sum()
+            xf = x.astype(jnp.float32)
+            w = (jnp.arange(xf.shape[0], dtype=jnp.float32) % 97.0) + 1.0
+            tot = tot + jnp.dot(
+                w, xf if xf.ndim == 1 else xf.sum(-1),
+                precision=jax.lax.Precision.DEFAULT)
         return tot
 
     # Stage bodies (cumulative), mirroring bin_gaussians "exact".
